@@ -1,0 +1,98 @@
+"""Synthetic molecule-like graphs for tests and benchmarks.
+
+Generates random graphs with the exact feature layout of the reference's
+processed datasets (`datasets/qm9_dataset.py:370-471`): OGB-coded categorical
+atom features [n, 9], bond features [e, 3], COO edge indices in both
+directions, and 3D coordinates — so the whole pipeline (batcher, encoders,
+models, losses, trainers) can be exercised without RDKit or downloads.
+
+Statistics are loosely molecular: 4-60 heavy atoms, ~connected sparse bond
+graphs (tree + extra ring-closing edges).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from infomax3d_tpu.models.base import FULL_ATOM_FEATURE_DIMS, FULL_BOND_FEATURE_DIMS
+
+
+def random_molecule(rng: np.random.Generator, n_min: int = 4, n_max: int = 28,
+                    with_coords: bool = True) -> Dict[str, np.ndarray]:
+    n = int(rng.integers(n_min, n_max + 1))
+    # spanning tree + ring closures, both edge directions (like RDKit bonds)
+    parents = rng.integers(0, np.maximum(np.arange(1, n), 1))
+    src = np.arange(1, n)
+    dst = parents
+    n_rings = int(rng.integers(0, max(1, n // 6) + 1))
+    if n_rings:
+        a = rng.integers(0, n, size=n_rings)
+        b = rng.integers(0, n, size=n_rings)
+        keep = a != b
+        src = np.concatenate([src, a[keep]])
+        dst = np.concatenate([dst, b[keep]])
+    senders = np.concatenate([src, dst]).astype(np.int32)
+    receivers = np.concatenate([dst, src]).astype(np.int32)
+    e = senders.shape[0]
+
+    node_feat = np.stack(
+        [rng.integers(0, d, size=n) for d in FULL_ATOM_FEATURE_DIMS], axis=1
+    ).astype(np.int32)
+    half = np.stack(
+        [rng.integers(0, d, size=e // 2) for d in FULL_BOND_FEATURE_DIMS], axis=1
+    ).astype(np.int32)
+    edge_feat = np.concatenate([half, half], axis=0)
+
+    out = dict(node_feat=node_feat, senders=senders, receivers=receivers,
+               edge_feat=edge_feat)
+    if with_coords:
+        out["coords"] = rng.normal(scale=2.0, size=(n, 3)).astype(np.float32)
+    return out
+
+
+def complete_graph_from_coords(mol: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Build the 3D complete-graph view (edge_dist only) of a molecule —
+    the `complete_graph3d` return type of the reference
+    (`datasets/qm9_dataset.py:233-244`)."""
+    coords = mol["coords"]
+    n = coords.shape[0]
+    idx = np.arange(n)
+    src = np.repeat(idx, n)
+    dst = np.tile(idx, n)
+    keep = src != dst
+    src, dst = src[keep].astype(np.int32), dst[keep].astype(np.int32)
+    d = np.linalg.norm(coords[src] - coords[dst], axis=-1).astype(np.float32)
+    return dict(node_feat=mol["node_feat"], senders=src, receivers=dst,
+                edge_dist=d, coords=coords)
+
+
+class SyntheticMolecules:
+    """In-memory dataset of random molecules with deterministic seeding."""
+
+    def __init__(self, num: int, seed: int = 0, n_min: int = 4, n_max: int = 28,
+                 num_targets: int = 1, num_conformers: int = 1):
+        rng = np.random.default_rng(seed)
+        self.mols: List[Dict[str, np.ndarray]] = [
+            random_molecule(rng, n_min, n_max) for _ in range(num)]
+        self.targets = rng.normal(size=(num, num_targets)).astype(np.float32)
+        self.num_conformers = num_conformers
+        if num_conformers > 1:
+            for m in self.mols:
+                n = m["node_feat"].shape[0]
+                m["conformers"] = np.stack(
+                    [m["coords"] +
+                     rng.normal(scale=0.3, size=(n, 3)).astype(np.float32)
+                     for _ in range(num_conformers)], axis=0)
+
+    def __len__(self):
+        return len(self.mols)
+
+    def graph2d(self, i: int) -> Dict[str, np.ndarray]:
+        return self.mols[i]
+
+    def graph3d(self, i: int, conformer: Optional[int] = None) -> Dict[str, np.ndarray]:
+        mol = self.mols[i]
+        if conformer is not None and "conformers" in mol:
+            mol = dict(mol, coords=mol["conformers"][conformer])
+        return complete_graph_from_coords(mol)

@@ -1,0 +1,269 @@
+"""Static-shape batched molecular graphs for XLA.
+
+This is the keystone data structure of the framework: the TPU-native
+replacement for DGL's `dgl.batch` + the ~25 collate functions of the reference
+(`datasets/custom_collate.py`) and its size-bucketing samplers
+(`datasets/samplers.py:12-139`).
+
+Design
+------
+A batch of molecules is ONE flat padded graph with static shapes so that every
+step compiles once per bucket:
+
+  node_feat   [N, Dn]   node features (int codes for embedding or float)
+  edge_feat   [E, De]   edge features (optional)
+  senders     [E]       edge source node index; padding edges -> N (out of range)
+  receivers   [E]       edge destination node index; padding edges -> N
+  node_graph  [N]       node -> graph segment id; padding nodes -> G
+  coords      [N, 3]    3D coordinates (optional)
+  node_mask   [N]       True for real nodes
+  edge_mask   [E]       True for real edges
+  graph_mask  [G]       True for real graphs
+  n_nodes     [G]       real node count per graph (0 for padding graphs)
+
+Out-of-range padding indices are intentional: `jax.ops.segment_sum` (XLA
+scatter in drop mode) silently drops them, so padding edges/nodes never touch
+real segments and no dummy graph slot is consumed.  Gathers clip
+(`jnp.take(..., mode="clip")`) and mask afterwards.
+
+All shapes (N, E, G) come from a `BucketSpec`; the host batcher pads up to the
+bucket.  A small ladder of buckets bounds XLA recompiles (reference keeps
+shapes dynamic and re-kernels every batch; we trade ~15-30% padding FLOPs for
+one compile).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """A statically-shaped batch of graphs (pytree).
+
+    Replaces the batched ``dgl.DGLGraph`` of the reference
+    (`datasets/custom_collate.py:12-18`).
+    """
+
+    node_feat: jnp.ndarray            # [N, Dn]
+    senders: jnp.ndarray              # [E] int32 (pad -> N)
+    receivers: jnp.ndarray            # [E] int32 (pad -> N)
+    node_graph: jnp.ndarray           # [N] int32 (pad -> G)
+    node_mask: jnp.ndarray            # [N] bool
+    edge_mask: jnp.ndarray            # [E] bool
+    graph_mask: jnp.ndarray           # [G] bool
+    n_nodes: jnp.ndarray              # [G] int32
+    edge_feat: Optional[jnp.ndarray] = None   # [E, De]
+    coords: Optional[jnp.ndarray] = None      # [N, 3]
+    edge_dist: Optional[jnp.ndarray] = None   # [E] distances for 3D complete graphs
+    edge_graph: Optional[jnp.ndarray] = None  # [E] int32 edge -> graph (pad -> G)
+    snorm: Optional[jnp.ndarray] = None       # [N, 1] 1/sqrt(n) per node (s_norm collates)
+    lap_pe: Optional[jnp.ndarray] = None      # [N, k] Laplacian positional encoding
+    extras: Dict[str, jnp.ndarray] = struct.field(default_factory=dict)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_feat.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+    @property
+    def num_real_edges(self) -> jnp.ndarray:
+        return self.edge_mask.sum()
+
+
+@struct.dataclass
+class BucketSpec:
+    """Static shape of a batch: (graphs, nodes, edges). Hashable/static."""
+
+    n_graphs: int = struct.field(pytree_node=False)
+    n_nodes: int = struct.field(pytree_node=False)
+    n_edges: int = struct.field(pytree_node=False)
+
+    def __repr__(self):
+        return f"BucketSpec(G={self.n_graphs}, N={self.n_nodes}, E={self.n_edges})"
+
+
+def complete_graph_edges(n: int, self_loops: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """All directed (i, j) pairs for one molecule — the 3D complete graph of the
+    reference (`datasets/qm9_dataset.py:233-244`)."""
+    idx = np.arange(n)
+    src = np.repeat(idx, n)
+    dst = np.tile(idx, n)
+    if not self_loops:
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+    return src.astype(np.int32), dst.astype(np.int32)
+
+
+def batch_graphs(
+    graphs: Sequence[Dict[str, np.ndarray]],
+    bucket: BucketSpec,
+    extras_keys: Sequence[str] = (),
+) -> Dict[str, np.ndarray]:
+    """Concatenate per-molecule numpy graph dicts into one padded flat batch.
+
+    Each input dict carries: ``node_feat [n, Dn]``, ``senders [e]``,
+    ``receivers [e]`` and optionally ``edge_feat``, ``coords``, ``edge_dist``,
+    ``lap_pe`` and extra per-graph arrays (targets, ...).
+
+    Returns plain numpy arrays (host side) matching the `GraphBatch` fields;
+    wrap with :func:`to_graph_batch` / device_put to use in jit.
+    """
+    G, N, E = bucket.n_graphs, bucket.n_nodes, bucket.n_edges
+    g_real = len(graphs)
+    if g_real == 0:
+        raise ValueError("batch_graphs needs at least one graph")
+    if g_real > G:
+        raise ValueError(f"{g_real} graphs > bucket {G}")
+
+    n_per = np.array([g["node_feat"].shape[0] for g in graphs], dtype=np.int32)
+    e_per = np.array([g["senders"].shape[0] for g in graphs], dtype=np.int32)
+    n_tot, e_tot = int(n_per.sum()), int(e_per.sum())
+    if n_tot > N or e_tot > E:
+        raise ValueError(f"batch needs ({n_tot} nodes, {e_tot} edges) > bucket ({N}, {E})")
+
+    node_off = np.concatenate([[0], np.cumsum(n_per)[:-1]]).astype(np.int32)
+
+    first = graphs[0]
+    nf = first["node_feat"]
+    node_feat = np.zeros((N,) + nf.shape[1:], dtype=nf.dtype)
+    node_feat[:n_tot] = np.concatenate([g["node_feat"] for g in graphs], axis=0)
+
+    senders = np.full(E, N, dtype=np.int32)
+    receivers = np.full(E, N, dtype=np.int32)
+    if e_tot:
+        senders[:e_tot] = np.concatenate(
+            [g["senders"].astype(np.int32) + node_off[i] for i, g in enumerate(graphs)])
+        receivers[:e_tot] = np.concatenate(
+            [g["receivers"].astype(np.int32) + node_off[i] for i, g in enumerate(graphs)])
+
+    node_graph = np.full(N, G, dtype=np.int32)
+    node_graph[:n_tot] = np.repeat(np.arange(g_real, dtype=np.int32), n_per)
+    edge_graph = np.full(E, G, dtype=np.int32)
+    if e_tot:
+        edge_graph[:e_tot] = np.repeat(np.arange(g_real, dtype=np.int32), e_per)
+
+    node_mask = np.zeros(N, dtype=bool)
+    node_mask[:n_tot] = True
+    edge_mask = np.zeros(E, dtype=bool)
+    edge_mask[:e_tot] = True
+    graph_mask = np.zeros(G, dtype=bool)
+    graph_mask[:g_real] = True
+    n_nodes = np.zeros(G, dtype=np.int32)
+    n_nodes[:g_real] = n_per
+
+    out: Dict[str, np.ndarray] = dict(
+        node_feat=node_feat, senders=senders, receivers=receivers,
+        node_graph=node_graph, edge_graph=edge_graph, node_mask=node_mask,
+        edge_mask=edge_mask, graph_mask=graph_mask, n_nodes=n_nodes,
+    )
+
+    def _pad_node_field(key):
+        if key in first and first[key] is not None:
+            arr0 = first[key]
+            buf = np.zeros((N,) + arr0.shape[1:], dtype=arr0.dtype)
+            buf[:n_tot] = np.concatenate([g[key] for g in graphs], axis=0)
+            out[key] = buf
+
+    def _pad_edge_field(key):
+        if key in first and first[key] is not None:
+            arr0 = first[key]
+            buf = np.zeros((E,) + arr0.shape[1:], dtype=arr0.dtype)
+            if e_tot:
+                buf[:e_tot] = np.concatenate([g[key] for g in graphs], axis=0)
+            out[key] = buf
+
+    _pad_edge_field("edge_feat")
+    _pad_edge_field("edge_dist")
+    _pad_node_field("coords")
+    _pad_node_field("lap_pe")
+
+    # snorm_n = 1/sqrt(n) per node (reference s_norm collates, custom_collate.py:43-49)
+    snorm = np.zeros((N, 1), dtype=np.float32)
+    snorm[:n_tot, 0] = np.repeat(1.0 / np.sqrt(n_per.astype(np.float32)), n_per)
+    out["snorm"] = snorm
+
+    for key in extras_keys:
+        vals = [np.asarray(g[key]) for g in graphs]
+        v0 = vals[0]
+        buf = np.zeros((G,) + v0.shape, dtype=v0.dtype)
+        buf[:g_real] = np.stack(vals, axis=0)
+        out[key] = buf
+    return out
+
+
+def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = ()) -> GraphBatch:
+    """Wrap host arrays from :func:`batch_graphs` into a `GraphBatch` pytree."""
+    extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
+    return GraphBatch(
+        node_feat=jnp.asarray(arrays["node_feat"]),
+        senders=jnp.asarray(arrays["senders"]),
+        receivers=jnp.asarray(arrays["receivers"]),
+        node_graph=jnp.asarray(arrays["node_graph"]),
+        edge_graph=jnp.asarray(arrays["edge_graph"]),
+        node_mask=jnp.asarray(arrays["node_mask"]),
+        edge_mask=jnp.asarray(arrays["edge_mask"]),
+        graph_mask=jnp.asarray(arrays["graph_mask"]),
+        n_nodes=jnp.asarray(arrays["n_nodes"]),
+        edge_feat=jnp.asarray(arrays["edge_feat"]) if "edge_feat" in arrays else None,
+        coords=jnp.asarray(arrays["coords"]) if "coords" in arrays else None,
+        edge_dist=jnp.asarray(arrays["edge_dist"]) if "edge_dist" in arrays else None,
+        snorm=jnp.asarray(arrays["snorm"]) if "snorm" in arrays else None,
+        lap_pe=jnp.asarray(arrays["lap_pe"]) if "lap_pe" in arrays else None,
+        extras=extras,
+    )
+
+
+def make_bucket_ladder(
+    batch_size: int,
+    node_counts: Sequence[int],
+    edge_counts: Sequence[int],
+    n_buckets: int = 3,
+    node_align: int = 128,
+    edge_align: int = 512,
+    headroom: float = 1.08,
+) -> List[BucketSpec]:
+    """Derive a small ladder of static shapes from dataset histograms.
+
+    The reference's `ConstantNumberAtoms*` samplers (`datasets/samplers.py`)
+    cluster molecules by size; here we instead fix a few (N, E) capacities for
+    a given batch size — a batch is assigned the smallest bucket that fits.
+    """
+    node_counts = np.asarray(node_counts)
+    edge_counts = np.asarray(edge_counts)
+    qs = np.linspace(0.6, 1.0, n_buckets)
+    ladder = []
+    for q in qs:
+        # expected totals for a batch drawn at this quantile of "fatness"
+        n_cap = float(np.quantile(node_counts, q)) * batch_size * headroom
+        e_cap = float(np.quantile(edge_counts, q)) * batch_size * headroom
+        n_cap = int(math.ceil(n_cap / node_align) * node_align)
+        e_cap = int(math.ceil(e_cap / edge_align) * edge_align)
+        ladder.append(BucketSpec(n_graphs=batch_size, n_nodes=n_cap, n_edges=e_cap))
+    # dedupe while keeping order
+    seen, uniq = set(), []
+    for b in ladder:
+        key = (b.n_graphs, b.n_nodes, b.n_edges)
+        if key not in seen:
+            seen.add(key)
+            uniq.append(b)
+    return uniq
+
+
+def pick_bucket(ladder: Sequence[BucketSpec], n_tot: int, e_tot: int) -> BucketSpec:
+    """Smallest bucket that fits the batch; falls back to the largest."""
+    for b in ladder:
+        if n_tot <= b.n_nodes and e_tot <= b.n_edges:
+            return b
+    return ladder[-1]

@@ -1,0 +1,16 @@
+from infomax3d_tpu.models.registry import MODEL_REGISTRY, get_model_class, register_model
+from infomax3d_tpu.models.base import (
+    MLP, FCLayer, MLPReadout, MaskedBatchNorm, AtomEncoder, BondEncoder,
+)
+from infomax3d_tpu.models.pna import PNA, PNAGNN, PNALayer
+from infomax3d_tpu.models.net3d import Net3D, Net3DLayer
+
+register_model("PNA")(PNA)
+register_model("PNAGNN")(PNAGNN)
+register_model("Net3D")(Net3D)
+
+__all__ = [
+    "MODEL_REGISTRY", "get_model_class", "register_model",
+    "MLP", "FCLayer", "MLPReadout", "MaskedBatchNorm", "AtomEncoder",
+    "BondEncoder", "PNA", "PNAGNN", "PNALayer", "Net3D", "Net3DLayer",
+]

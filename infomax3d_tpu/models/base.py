@@ -1,0 +1,240 @@
+"""Shared model building blocks (reference `models/base_layers.py`,
+`commons/mol_encoder.py`) as flax.linen modules.
+
+Critical TPU-specific difference from the reference: batches are padded to
+static shapes, so BatchNorm statistics MUST exclude padding rows
+(`MaskedBatchNorm`) or parity with the reference breaks (SURVEY.md §7
+"Masked BatchNorm parity").  Running-stat semantics follow torch:
+``running = (1 - momentum) * running + momentum * batch_stat`` with the
+*unbiased* batch variance entering the running estimate and the *biased*
+variance used for normalization.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Activation registry — replaces reference get_activation (models/base_layers.py:9-20).
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "elu": jax.nn.elu,
+    "selu": jax.nn.selu,
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "softplus": jax.nn.softplus,
+    "silu": jax.nn.silu,
+    "glu": lambda x: jax.nn.glu(x, axis=-1),
+    "gelu": jax.nn.gelu,
+    "none": lambda x: x,
+}
+
+
+def get_activation(act: Union[str, Callable, None]) -> Callable:
+    if act is None:
+        return ACTIVATIONS["none"]
+    if callable(act):
+        return act
+    key = act.lower()
+    if key not in ACTIVATIONS:
+        raise ValueError(f"unsupported activation: {act}")
+    return ACTIVATIONS[key]
+
+
+def scaled_xavier_uniform(gain_from_fan_in: bool = True):
+    """torch ``xavier_uniform_(w, gain=1/in_dim)`` — the reference FCLayer init
+    (models/base_layers.py:93-98).  Bound = gain * sqrt(6 / (fan_in + fan_out))."""
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[0], shape[1]
+        gain = (1.0 / fan_in) if gain_from_fan_in else 1.0
+        bound = gain * jnp.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def xavier_uniform_embedding(key, shape, dtype=jnp.float32):
+    """torch ``xavier_uniform_`` on an embedding table (commons/mol_encoder.py:27)."""
+    fan_in, fan_out = shape[0], shape[1]
+    bound = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the row axis with padding rows excluded from statistics.
+
+    torch semantics (nn.BatchNorm1d): normalize with biased batch variance,
+    update running stats with unbiased variance; running = (1-m)*running +
+    m*batch.  `mask=None` behaves like plain BatchNorm.
+    """
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 use_running_average: bool = False) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is not None:
+                m = mask.astype(jnp.float32)
+                while m.ndim < xf.ndim:
+                    m = m[..., None]
+                count = jnp.maximum(m.sum(), 1.0)
+                mean = (xf * m).sum(axis=tuple(range(xf.ndim - 1))) / count
+                var = ((xf - mean) ** 2 * m).sum(axis=tuple(range(xf.ndim - 1))) / count
+            else:
+                count = jnp.asarray(x.size / features, jnp.float32)
+                mean = xf.mean(axis=tuple(range(xf.ndim - 1)))
+                var = xf.var(axis=tuple(range(xf.ndim - 1)))
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class FCLayer(nn.Module):
+    """Dense -> activation -> dropout -> batchnorm (reference FCLayer order,
+    models/base_layers.py:100-111)."""
+    out_dim: int
+    activation: Union[str, Callable, None] = "relu"
+    dropout: float = 0.0
+    batch_norm: bool = False
+    batch_norm_momentum: float = 0.1
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 use_running_average: Optional[bool] = None):
+        if use_running_average is None:
+            use_running_average = deterministic
+        h = nn.Dense(self.out_dim, use_bias=self.bias,
+                     kernel_init=scaled_xavier_uniform(),
+                     bias_init=nn.initializers.zeros)(x)
+        h = get_activation(self.activation)(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        if self.batch_norm:
+            h = MaskedBatchNorm(momentum=self.batch_norm_momentum)(
+                h, mask=mask, use_running_average=use_running_average)
+        return h
+
+
+class MLP(nn.Module):
+    """Stack of FCLayers (reference MLP, models/base_layers.py:114-147)."""
+    out_dim: int
+    layers: int
+    hidden_size: Optional[int] = None
+    mid_activation: Union[str, Callable] = "relu"
+    last_activation: Union[str, Callable, None] = "none"
+    dropout: float = 0.0
+    mid_batch_norm: bool = False
+    last_batch_norm: bool = False
+    batch_norm_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 use_running_average: Optional[bool] = None):
+        kw = dict(mask=mask, deterministic=deterministic,
+                  use_running_average=use_running_average)
+        if self.layers <= 1:
+            return FCLayer(self.out_dim, activation=self.last_activation,
+                           batch_norm=self.last_batch_norm, dropout=self.dropout,
+                           batch_norm_momentum=self.batch_norm_momentum)(x, **kw)
+        h = FCLayer(self.hidden_size, activation=self.mid_activation,
+                    batch_norm=self.mid_batch_norm, dropout=self.dropout,
+                    batch_norm_momentum=self.batch_norm_momentum)(x, **kw)
+        for _ in range(self.layers - 2):
+            h = FCLayer(self.hidden_size, activation=self.mid_activation,
+                        batch_norm=self.mid_batch_norm, dropout=self.dropout,
+                        batch_norm_momentum=self.batch_norm_momentum)(h, **kw)
+        return FCLayer(self.out_dim, activation=self.last_activation,
+                       batch_norm=self.last_batch_norm, dropout=self.dropout,
+                       batch_norm_momentum=self.batch_norm_momentum)(h, **kw)
+
+
+class MLPReadout(nn.Module):
+    """Halving-width readout MLP (reference models/base_layers.py:149-164)."""
+    input_dim: int
+    output_dim: int
+    num_hidden: int = 2  # reference `L`
+
+    @nn.compact
+    def __call__(self, x):
+        y = x
+        for l in range(self.num_hidden):
+            y = nn.Dense(self.input_dim // 2 ** (l + 1))(y)
+            y = jax.nn.relu(y)
+        return nn.Dense(self.output_dim)(y)
+
+
+# OGB categorical feature vocabulary sizes (ogb.utils.features.get_atom_feature_dims /
+# get_bond_feature_dims — hardcoded here; ogb is host-side data prep only).
+FULL_ATOM_FEATURE_DIMS = (119, 5, 12, 12, 10, 6, 6, 2, 2)
+FULL_BOND_FEATURE_DIMS = (5, 6, 2)
+
+
+class CategoricalFeatureEncoder(nn.Module):
+    """Sum of one embedding table per categorical column (reference
+    AtomEncoder/BondEncoder, commons/mol_encoder.py:10-73).
+
+    `padding=True` maps code -1 to a zero-frozen row 0 (torch padding_idx=0).
+    On TPU we instead clamp and mask: row 0 is still a parameter but the
+    output is zeroed for -1 codes, which matches padding_idx forward
+    semantics (the row never receives gradient because the output is zeroed).
+    """
+    feature_dims: Sequence[int]
+    emb_dim: int
+    padding: bool = False
+
+    @nn.compact
+    def __call__(self, codes: jnp.ndarray) -> jnp.ndarray:   # codes [N, num_feats] int
+        total = 0.0
+        for i, dim in enumerate(self.feature_dims):
+            vocab = dim + 1 if self.padding else dim
+            table = self.param(f"emb_{i}", xavier_uniform_embedding,
+                               (vocab, self.emb_dim))
+            idx = codes[:, i]
+            if self.padding:
+                idx = idx + 1
+                emb = jnp.take(table, idx.clip(0, vocab - 1), axis=0)
+                emb = jnp.where((idx > 0)[:, None], emb, 0.0)
+            else:
+                emb = jnp.take(table, idx.clip(0, vocab - 1), axis=0)
+            total = total + emb
+        return total
+
+
+class AtomEncoder(nn.Module):
+    emb_dim: int
+    padding: bool = False
+
+    @nn.compact
+    def __call__(self, codes):
+        return CategoricalFeatureEncoder(FULL_ATOM_FEATURE_DIMS, self.emb_dim,
+                                         self.padding, name="encoder")(codes)
+
+
+class BondEncoder(nn.Module):
+    emb_dim: int
+    padding: bool = False
+
+    @nn.compact
+    def __call__(self, codes):
+        return CategoricalFeatureEncoder(FULL_BOND_FEATURE_DIMS, self.emb_dim,
+                                         self.padding, name="encoder")(codes)

@@ -1,0 +1,159 @@
+"""Net3D — 3D geometry encoder over complete graphs with edge distances.
+
+TPU-native re-design of reference `models/net3d.py:14-125`:
+
+* input is the complete graph per molecule (E = n(n-1)) with only the
+  inter-atomic distance on each edge; node features are a single learned
+  embedding vector (node_dim = 0) unless `use_node_features`,
+* optional Fourier distance encoding, then an input edge MLP (+ extra SiLU —
+  reference applies F.silu on top of an MLP whose last activation is already
+  SiLU, `models/net3d.py:81`; preserved),
+* each layer: message MLP on [h_src ‖ h_dst ‖ e], the message is ADDED to the
+  edge state (edge features are layer-carried state — reference
+  `edges.data['d'] += message`), sigmoid soft-edge gate, sum/mean segment
+  reduce, update MLP + residual,
+* readout identical to PNA.
+
+The layer returns (h, e) because edge state is mutable across layers.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from infomax3d_tpu.graphs.batch import GraphBatch
+from infomax3d_tpu.models.base import MLP, AtomEncoder
+from infomax3d_tpu.ops.encodings import fourier_encode_dist
+from infomax3d_tpu.ops.segment import graph_readout, segment_mean, segment_sum
+
+
+class Net3DLayer(nn.Module):
+    """One Net3D message-passing layer (reference `models/net3d.py:84-125`)."""
+    hidden_dim: int
+    batch_norm: bool = False
+    batch_norm_momentum: float = 0.1
+    dropout: float = 0.0
+    mid_activation: str = "SiLU"
+    reduce_func: str = "sum"
+    message_net_layers: int = 2
+    update_net_layers: int = 2
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, h: jnp.ndarray, e: jnp.ndarray,
+                 deterministic: bool = True):
+        N = h.shape[0]
+        src = jnp.take(h, g.senders.clip(0, N - 1), axis=0)
+        dst = jnp.take(h, g.receivers.clip(0, N - 1), axis=0)
+        z = jnp.concatenate([src, dst, e], axis=-1)
+        message = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
+                      layers=self.message_net_layers,
+                      mid_activation=self.mid_activation,
+                      last_activation=self.mid_activation,
+                      mid_batch_norm=self.batch_norm,
+                      last_batch_norm=self.batch_norm,
+                      batch_norm_momentum=self.batch_norm_momentum,
+                      dropout=self.dropout,
+                      name="message_network")(z, mask=g.edge_mask,
+                                              deterministic=deterministic)
+        e_new = e + message                                   # net3d.py:116
+        gate = jax.nn.sigmoid(nn.Dense(1, name="soft_edge_network")(message))
+        gated = message * gate
+        if self.reduce_func == "sum":
+            agg = segment_sum(gated, g.receivers, N)
+        elif self.reduce_func == "mean":
+            agg = segment_mean(gated, g.receivers, N)
+        else:
+            raise ValueError(f"reduce function not supported: {self.reduce_func}")
+        upd = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
+                  layers=self.update_net_layers,
+                  mid_activation=self.mid_activation, last_activation="none",
+                  mid_batch_norm=self.batch_norm, last_batch_norm=self.batch_norm,
+                  batch_norm_momentum=self.batch_norm_momentum,
+                  dropout=self.dropout,
+                  name="update_network")(agg + h, mask=g.node_mask,
+                                         deterministic=deterministic)
+        return upd + h, e_new
+
+
+class Net3D(nn.Module):
+    """Full Net3D model (reference `models/net3d.py:14-81`).
+
+    Consumes `g.edge_dist` (pairwise distances of the complete graph).
+    """
+    hidden_dim: int
+    target_dim: int
+    readout_aggregators: Sequence[str]
+    batch_norm: bool = False
+    node_wise_output_layers: int = 2
+    readout_batchnorm: bool = True
+    batch_norm_momentum: float = 0.1
+    reduce_func: str = "sum"
+    dropout: float = 0.0
+    propagation_depth: int = 4
+    readout_layers: int = 2
+    readout_hidden_dim: Optional[int] = None
+    fourier_encodings: int = 0
+    activation: str = "SiLU"
+    update_net_layers: int = 2
+    message_net_layers: int = 2
+    use_node_features: bool = False
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, deterministic: bool = True,
+                 return_nodes: bool = False):
+        N = g.num_nodes
+        if self.use_node_features:
+            h = AtomEncoder(self.hidden_dim, name="atom_encoder")(g.node_feat)
+        else:
+            node_embedding = self.param("node_embedding",
+                                        nn.initializers.normal(1.0),
+                                        (self.hidden_dim,))
+            h = jnp.broadcast_to(node_embedding[None, :], (N, self.hidden_dim))
+
+        d = g.edge_dist
+        if d.ndim == 1:
+            d = d[:, None]
+        if self.fourier_encodings > 0:
+            d = fourier_encode_dist(d[..., 0], num_encodings=self.fourier_encodings)
+        e = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim, layers=1,
+                mid_activation=self.activation, last_activation=self.activation,
+                mid_batch_norm=self.batch_norm, last_batch_norm=self.batch_norm,
+                batch_norm_momentum=self.batch_norm_momentum, dropout=self.dropout,
+                name="edge_input")(d, mask=g.edge_mask, deterministic=deterministic)
+        e = jax.nn.silu(e)  # reference applies F.silu AGAIN on top (net3d.py:81)
+
+        for i in range(self.propagation_depth):
+            h, e = Net3DLayer(hidden_dim=self.hidden_dim,
+                              batch_norm=self.batch_norm,
+                              batch_norm_momentum=self.batch_norm_momentum,
+                              dropout=self.dropout, mid_activation=self.activation,
+                              reduce_func=self.reduce_func,
+                              message_net_layers=self.message_net_layers,
+                              update_net_layers=self.update_net_layers,
+                              name=f"mp_{i}")(g, h, e, deterministic=deterministic)
+
+        if self.node_wise_output_layers > 0:
+            h = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
+                    layers=self.node_wise_output_layers,
+                    mid_activation=self.activation, last_activation="none",
+                    mid_batch_norm=self.batch_norm, last_batch_norm=self.batch_norm,
+                    batch_norm_momentum=self.batch_norm_momentum,
+                    dropout=self.dropout,
+                    name="node_wise_output_network")(h, mask=g.node_mask,
+                                                     deterministic=deterministic)
+
+        readout = graph_readout(h, g.node_graph, g.num_graphs,
+                                self.readout_aggregators)
+        rh = self.readout_hidden_dim or self.hidden_dim
+        out = MLP(out_dim=self.target_dim, hidden_size=rh,
+                  layers=self.readout_layers,
+                  mid_batch_norm=self.readout_batchnorm,
+                  batch_norm_momentum=self.batch_norm_momentum,
+                  name="output")(readout, mask=g.graph_mask,
+                                 deterministic=deterministic)
+        if return_nodes:
+            return out, h
+        return out
