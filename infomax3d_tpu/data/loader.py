@@ -1,0 +1,209 @@
+"""Host data pipeline: collate registry + bucketed loader.
+
+Replaces the reference's `torch.utils.data.DataLoader` + ~25 collate
+functions (`datasets/custom_collate.py`) with a static-shape loader:
+
+* a collate function assembles per-molecule numpy dicts into one or more
+  padded `GraphBatch`es for a fixed `BucketSpec` (dict of named views, e.g.
+  {"graph2d": ..., "graph3d": ...}),
+* the loader shuffles with its own numpy RNG (matching the reference's
+  epoch-reshuffled DataLoader), picks the bucket per batch from a ladder,
+  and yields device-ready pytrees,
+* contrastive collates require FULL batches (the NT-Xent [B,B] math assumes
+  every row real), so the loader drops the last partial batch when
+  `drop_last`; supervised collates keep it and rely on masks.
+
+Collate names are byte-compatible with the reference YAML
+(`collate_function:` key).
+"""
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from infomax3d_tpu.graphs.batch import (
+    BucketSpec, batch_graphs, pick_bucket, to_graph_batch,
+)
+
+COLLATE_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_collate(name):
+    def deco(fn):
+        COLLATE_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def get_collate(name: str):
+    if name not in COLLATE_REGISTRY:
+        raise KeyError(f"unknown collate_function '{name}'; known: "
+                       f"{sorted(COLLATE_REGISTRY)}")
+    return COLLATE_REGISTRY[name]
+
+
+def _pad_targets_nan(arrays: Dict[str, np.ndarray], key: str, g_real: int):
+    """Padded target rows become NaN so masked losses ignore them naturally."""
+    if key in arrays and np.issubdtype(arrays[key].dtype, np.floating):
+        arrays[key][g_real:] = np.nan
+    return arrays
+
+
+@register_collate("graph_collate")
+def graph_collate(items: Sequence[Dict], bucket: BucketSpec):
+    """dgl.batch + stacked targets (custom_collate.py:12-18)."""
+    merged = [dict(it["graph2d"], targets=it["targets"]) for it in items]
+    arrays = batch_graphs(merged, bucket, extras_keys=["targets"])
+    _pad_targets_nan(arrays, "targets", len(items))
+    return {"graph": to_graph_batch(arrays, extras_keys=["targets"])}
+
+
+@register_collate("graph_only_collate")
+def graph_only_collate(items: Sequence[Dict], bucket: BucketSpec):
+    arrays = batch_graphs([it["graph2d"] for it in items], bucket)
+    return {"graph": to_graph_batch(arrays)}
+
+
+@register_collate("contrastive_collate")
+def contrastive_collate(items: Sequence[Dict], bucket: BucketSpec,
+                        bucket3d: Optional[BucketSpec] = None):
+    """[2D graphs], [3D complete graphs] (custom_collate.py:105-114)."""
+    g2 = batch_graphs([it["graph2d"] for it in items], bucket)
+    b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
+                                _complete_edge_cap(items))
+    g3 = batch_graphs([it["graph3d"] for it in items], b3)
+    return {"graph2d": to_graph_batch(g2), "graph3d": to_graph_batch(g3)}
+
+
+@register_collate("conformer_collate")
+def conformer_collate(items: Sequence[Dict], bucket: BucketSpec,
+                      bucket3d: Optional[BucketSpec] = None):
+    """2D graphs + C conformer complete-graphs per molecule packed
+    molecule-major (custom_collate.py:155-157, qmugs_dataset.py:149-166)."""
+    g2 = batch_graphs([it["graph2d"] for it in items], bucket)
+    conf_graphs: List[Dict] = []
+    for it in items:
+        conf_graphs.extend(it["conformers3d"])
+    n_conf = len(items[0]["conformers3d"])
+    b3 = bucket3d or BucketSpec(bucket.n_graphs * n_conf,
+                                bucket.n_nodes * n_conf,
+                                _complete_edge_cap(items) * n_conf)
+    g3 = batch_graphs(conf_graphs, b3)
+    return {"graph2d": to_graph_batch(g2), "graph3d": to_graph_batch(g3)}
+
+
+@register_collate("contrastive_collate_ae")
+def contrastive_collate_ae(items, bucket, bucket3d=None):
+    """AE trainer batch: identical to contrastive; the reconstruction targets
+    are `graph3d.edge_dist` (masked by `edge_mask`), so no extra arrays."""
+    return contrastive_collate(items, bucket, bucket3d)
+
+
+def _complete_edge_cap(items) -> int:
+    return int(sum(len(it["graph3d"]["senders"]) for it in items) * 1.0 + 64)
+
+
+@register_collate("graphcl_collate")
+def graphcl_collate(items: Sequence[Dict], bucket: BucketSpec,
+                    rng: Optional[np.random.Generator] = None,
+                    drop_ratio: float = 0.1):
+    """Two node-dropped augmented views of the 2D graph (NodeDrop2dCollate,
+    custom_collate.py:188-282)."""
+    rng = rng or np.random.default_rng(0)
+    v1 = [node_drop(it["graph2d"], rng, drop_ratio) for it in items]
+    v2 = [node_drop(it["graph2d"], rng, drop_ratio) for it in items]
+    return {"view1": to_graph_batch(batch_graphs(v1, bucket)),
+            "view2": to_graph_batch(batch_graphs(v2, bucket))}
+
+
+def node_drop(graph: Dict, rng: np.random.Generator, ratio: float) -> Dict:
+    """Drop a fraction of nodes (keeping >=1) and incident edges."""
+    n = graph["node_feat"].shape[0]
+    keep_n = max(1, int(round(n * (1 - ratio))))
+    keep = np.sort(rng.permutation(n)[:keep_n])
+    remap = -np.ones(n, dtype=np.int64)
+    remap[keep] = np.arange(keep_n)
+    s, r = graph["senders"], graph["receivers"]
+    ekeep = (remap[s] >= 0) & (remap[r] >= 0)
+    out = dict(graph)
+    out["node_feat"] = graph["node_feat"][keep]
+    out["senders"] = remap[s[ekeep]].astype(np.int32)
+    out["receivers"] = remap[r[ekeep]].astype(np.int32)
+    if graph.get("edge_feat") is not None:
+        out["edge_feat"] = graph["edge_feat"][ekeep]
+    if graph.get("coords") is not None:
+        out["coords"] = graph["coords"][keep]
+    return out
+
+
+class GraphDataLoader:
+    """Bucketed, shuffling, optionally-prefetching loader.
+
+    dataset: object with __len__ and __getitem__(i) -> item dict holding the
+    views the collate needs ("graph2d", "graph3d", "targets", ...).
+    """
+
+    def __init__(self, dataset, batch_size: int, collate,
+                 bucket: Optional[BucketSpec] = None,
+                 ladder: Optional[Sequence[BucketSpec]] = None,
+                 shuffle: bool = True, drop_last: bool = False,
+                 seed: int = 0, indices: Optional[Sequence[int]] = None,
+                 prefetch: int = 2, collate_kwargs: Optional[Dict] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate if callable(collate) else get_collate(collate)
+        self.bucket = bucket
+        self.ladder = list(ladder) if ladder else None
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.indices = np.asarray(indices if indices is not None
+                                  else np.arange(len(dataset)))
+        self.prefetch = prefetch
+        self.collate_kwargs = collate_kwargs or {}
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator:
+        idx = self.indices.copy()
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i:i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                continue
+            items = [self.dataset[int(j)] for j in chunk]
+            bucket = self.bucket
+            if bucket is None and self.ladder:
+                n_tot = sum(it["graph2d"]["node_feat"].shape[0] for it in items)
+                e_tot = sum(it["graph2d"]["senders"].shape[0] for it in items)
+                bucket = pick_bucket(self.ladder, n_tot, e_tot)
+            yield self.collate(items, bucket, **self.collate_kwargs)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is SENTINEL:
+                break
+            yield b

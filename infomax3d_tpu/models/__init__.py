@@ -9,6 +9,8 @@ register_model("PNA")(PNA)
 register_model("PNAGNN")(PNAGNN)
 register_model("Net3D")(Net3D)
 
+from infomax3d_tpu.models.byol import BYOLWrapper, Critic  # noqa: E402
+
 __all__ = [
     "MODEL_REGISTRY", "get_model_class", "register_model",
     "MLP", "FCLayer", "MLPReadout", "MaskedBatchNorm", "AtomEncoder",

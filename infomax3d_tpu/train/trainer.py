@@ -1,0 +1,740 @@
+"""Training engine — TPU-native re-design of reference `trainer/*.py`.
+
+Shape of the design (vs the reference's eager epoch loop):
+
+* each trainer flavor defines ONE pure ``loss_fn(params, batch_stats, batch,
+  step, rng) -> (loss, AuxOut)``; the base class jits a fused
+  forward+backward+optimizer-update step per (bucket-shape, mode) pair —
+  compile once, then every batch is a single device call,
+* learning rates are host-controlled per group (`LRController`, exact
+  WarmUpWrapper + ReduceLROnPlateau parity) and flow in as a traced vector —
+  no recompiles on LR changes,
+* batch-norm running stats live in the state and are updated functionally,
+* host loop does: early stopping on the main metric, best/last checkpoints,
+  epoch-milestone snapshots (`models_to_save`), JSONL/TensorBoard logging —
+  the exact contract of reference `Trainer.train` (trainer/trainer.py:69-109).
+
+Mesh-parallel training wraps the same step functions with shardings
+(see `parallel/`).
+"""
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from infomax3d_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from infomax3d_tpu.train.logging import RunLogger
+from infomax3d_tpu.train.optim import GROUP_ORDER, GroupedOptimizer, label_params
+from infomax3d_tpu.train.schedulers import LRController
+from infomax3d_tpu.train.state import TrainState
+from infomax3d_tpu.utils.setup import enable_persistent_compilation_cache
+
+
+class AuxOut(NamedTuple):
+    predictions: jnp.ndarray
+    targets: jnp.ndarray
+    extra_losses: Dict[str, jnp.ndarray]
+
+
+def _elementwise_supervised_loss(name: str, pred, target, valid):
+    """Masked supervised losses: padded graph rows / NaN labels excluded,
+    value identical to the reference's unpadded computation."""
+    if name in ("L1Loss", "MAE"):
+        per = jnp.abs(pred - jnp.where(valid, target, 0.0))
+    elif name in ("MSELoss",):
+        per = (pred - jnp.where(valid, target, 0.0)) ** 2
+    elif name in ("BCEWithLogitsLoss", "OGBNanLabelBCEWithLogitsLoss"):
+        t = jnp.where(valid, target, 0.0)
+        per = jax.nn.relu(pred) - pred * t + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    elif name in ("OGBNanLabelMSELoss",):
+        per = (pred - jnp.where(valid, target, 0.0)) ** 2
+    else:
+        raise KeyError(f"unsupported supervised loss '{name}'")
+    return jnp.sum(jnp.where(valid, per, 0.0)) / jnp.maximum(valid.sum(), 1)
+
+
+class Trainer:
+    """Supervised trainer (reference base `Trainer`)."""
+
+    MODEL_KEYS = ("model",)
+
+    def __init__(self, models: Dict[str, Any], args: Dict, metrics: Dict[str, Any],
+                 main_metric: str, run_dir: str,
+                 loss_func: Any = None, loss_name: str = "MSELoss",
+                 main_metric_goal: str = "min",
+                 scheduler_step_per_batch: bool = True,
+                 seed: int = 0, mesh=None, use_tensorboard: bool = True):
+        self.models = models
+        self.args = args
+        self.metrics = metrics
+        self.loss_func = loss_func
+        self.loss_name = loss_name
+        self.main_metric = loss_name if main_metric == "loss" else main_metric
+        self.main_metric_goal = main_metric_goal
+        self.run_dir = run_dir
+        self.mesh = mesh
+        os.makedirs(run_dir, exist_ok=True)
+        enable_persistent_compilation_cache()
+        self.logger = RunLogger(run_dir, use_tensorboard=use_tensorboard)
+        self.rng = jax.random.key(seed)
+        self._step_cache: Dict[Any, Callable] = {}
+        self._metric_cache: Dict[Any, Callable] = {}
+
+        self.state: Optional[TrainState] = None
+        self.optims: Dict[str, GroupedOptimizer] = {}
+        self.lr_controllers: Dict[str, LRController] = {}
+        self.active_groups: Dict[str, Sequence[str]] = {}
+        self.scheduler_step_per_batch = scheduler_step_per_batch
+        self.start_epoch = 1
+        self.optim_steps = 0
+        self.best_val_score = -math.inf if main_metric_goal == "max" else math.inf
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, example_batch) -> TrainState:
+        params, batch_stats = {}, {}
+        for key in self.MODEL_KEYS:
+            self.rng, sub = jax.random.split(self.rng)
+            variables = self._init_model(key, sub, example_batch)
+            params[key] = variables["params"]
+            batch_stats[key] = variables.get("batch_stats", {})
+        self._build_optimizers(params)
+        opt_state = self._init_opt_state(params)
+        self.state = TrainState(params=params, batch_stats=batch_stats,
+                                opt_state=opt_state,
+                                step=jnp.zeros([], jnp.int32),
+                                extra=self._init_extra(params))
+        if self.args.get("checkpoint"):
+            self._load(self.args["checkpoint"])
+        return self.state
+
+    def _init_model(self, key, rng, batch):
+        return self.models[key].init(rng, batch["graph"], deterministic=True)
+
+    def _init_extra(self, params):
+        return None
+
+    def _build_optimizers(self, params):
+        """Reference param groups (trainer.py:216-238) over the joint tree."""
+        labels, active = label_params(
+            params,
+            transfer_layers=self.args.get("transfer_layers") or (),
+            exclude_from_transfer=self.args.get("exclude_from_transfer") or (),
+            frozen_layers=self.args.get("frozen_layers") or (),
+        )
+        op = dict(self.args.get("optimizer_params", {}) or {})
+        betas = tuple(op.pop("betas", (0.9, 0.999)))
+        opt = GroupedOptimizer(
+            labels, name=self.args.get("optimizer", "Adam"),
+            lr=op.pop("lr", 1e-3), weight_decay=op.pop("weight_decay", 0.0),
+            betas=betas, eps=op.pop("eps", 1e-8), momentum=op.pop("momentum", 0.0),
+            transferred_lr=self.args.get("transferred_lr"))
+        self.optims["main"] = opt
+        self.active_groups["main"] = active
+        self.lr_controllers["main"] = LRController(
+            opt.group_start_lrs(active),
+            self.args.get("lr_scheduler"),
+            self.args.get("lr_scheduler_params"),
+            step_per_batch=self.scheduler_step_per_batch)
+
+    def _init_opt_state(self, params):
+        return self.optims["main"].init(params)
+
+    def _full_lr_vector(self, name="main") -> jnp.ndarray:
+        """Map the controller's per-active-group lrs into GROUP_ORDER slots."""
+        full = np.zeros(len(GROUP_ORDER), np.float32)
+        for g, lr in zip(self.active_groups[name], self.lr_controllers[name].lrs):
+            full[GROUP_ORDER.index(g)] = lr
+        return jnp.asarray(full)
+
+    # ------------------------------------------------------------- loss core
+    def loss_fn(self, params, batch_stats, batch, step, rng, train: bool):
+        g = batch["graph"]
+        out = self._apply(self.models["model"], params["model"],
+                          batch_stats["model"], g, train, rng)
+        pred, new_stats = out
+        targets = g.extras["targets"]
+        valid = (~jnp.isnan(targets)) & g.graph_mask[:, None]
+        loss = _elementwise_supervised_loss(self.loss_name, pred, targets, valid)
+        return loss, AuxOut(pred, targets, {}), {"model": new_stats}
+
+    def _apply(self, model, params, batch_stats, graph, train, rng,
+               method=None, **kw):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mut = model.apply(variables, graph, deterministic=False,
+                                   mutable=["batch_stats"],
+                                   rngs={"dropout": rng}, method=method, **kw)
+            return out, mut.get("batch_stats", batch_stats)
+        out = model.apply(variables, graph, deterministic=True, method=method, **kw)
+        return out, batch_stats
+
+    # ------------------------------------------------------------- jit steps
+    def _make_train_step(self):
+        optim = self.optims["main"]
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch, group_lrs, rng):
+            def lf(params):
+                loss, aux, new_stats = self.loss_fn(
+                    params, state.batch_stats, batch, state.step, rng, True)
+                return loss, (aux, new_stats)
+
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                lf, has_aux=True)(state.params)
+            updates, opt_state = optim.update(grads, state.opt_state,
+                                              state.params, group_lrs)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+            new_state = state.replace(params=params, opt_state=opt_state,
+                                      batch_stats=new_stats,
+                                      step=state.step + 1)
+            new_state = self._post_update(new_state)
+            return new_state, loss, aux
+
+        return step_fn
+
+    def _post_update(self, state: TrainState) -> TrainState:
+        return state
+
+    def _make_eval_step(self):
+        @jax.jit
+        def step_fn(state: TrainState, batch, rng):
+            loss, aux, _ = self.loss_fn(state.params, state.batch_stats, batch,
+                                        state.step, rng, False)
+            return loss, aux
+
+        return step_fn
+
+    def _steps_for(self, batch):
+        key = jax.tree_util.tree_structure(batch)
+        shapes = tuple(x.shape for x in jax.tree_util.tree_leaves(batch))
+        ck = (key, shapes)
+        if ck not in self._step_cache:
+            self._step_cache[ck] = (self._make_train_step(),
+                                    self._make_eval_step())
+        return self._step_cache[ck]
+
+    # ---------------------------------------------------------------- epochs
+    def _host_filter(self, batch, aux: AuxOut):
+        """Pull real rows to host for metric accumulation."""
+        mask = np.asarray(batch["graph"].graph_mask)
+        return (np.asarray(aux.predictions)[mask], np.asarray(aux.targets)[mask])
+
+    def _eval_metrics(self, preds, targets, val=False) -> Dict[str, float]:
+        res = {
+            "mean_pred": float(np.mean(preds)),
+            "std_pred": float(np.std(preds, ddof=1)) if preds.size > 1 else 0.0,
+            "mean_targets": float(np.nanmean(targets)),
+            "std_targets": float(np.nanstd(targets, ddof=1)) if targets.size > 1 else 0.0,
+        }
+        # metric math runs on the host CPU backend: tiny [B, D] arrays — eager
+        # dispatch to the TPU (through a tunnel on some deployments) costs far
+        # more than the FLOPs
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            jp = jnp.asarray(np.asarray(preds))
+            jt = jnp.asarray(np.asarray(targets))
+            for key, metric in self.metrics.items():
+                if getattr(metric, "val_only", False) and not val:
+                    continue
+                try:
+                    res[key] = float(metric(jp, jt))
+                except Exception:
+                    res[key] = float("nan")
+        return res
+
+    def train_epoch(self, loader, epoch: int) -> None:
+        log_iterations = self.args.get("log_iterations", 20)
+        for i, batch in enumerate(loader):
+            train_step, _ = self._steps_for(batch)
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, loss, aux = train_step(self.state, batch,
+                                               self._full_lr_vector(), sub)
+            self.optim_steps += 1
+            self._after_optim_step()
+            if self.optim_steps % log_iterations == 0:
+                preds, targets = self._host_filter(batch, aux)
+                m = self._eval_metrics(preds, targets)
+                m[self.loss_name] = float(loss)
+                for k, v in aux.extra_losses.items():
+                    m[k] = float(v)
+                for gi, lr in enumerate(self.lr_controllers["main"].lrs):
+                    m[f"lr_param_group_{gi}"] = lr
+                self.logger.log(m, "train", self.optim_steps, epoch)
+
+    def _after_optim_step(self):
+        for c in self.lr_controllers.values():
+            c.after_optim_step()
+
+    def evaluate_epoch(self, loader, epoch: int = 0) -> Dict[str, float]:
+        """Validation pass.  Aggregation mirrors the reference: per-batch
+        averaged metrics when `val_per_batch` (contrastive probes), else
+        whole-epoch metrics on concatenated predictions (OGB evaluators)."""
+        val_per_batch = self.args.get("val_per_batch", True)
+        totals: Dict[str, float] = {}
+        n_batches = 0
+        all_preds, all_targets = [], []
+        epoch_loss = 0.0
+        for batch in loader:
+            _, eval_step = self._steps_for(batch)
+            self.rng, sub = jax.random.split(self.rng)
+            loss, aux = eval_step(self.state, batch, sub)
+            n_batches += 1
+            epoch_loss += float(loss)
+            preds, targets = self._host_filter(batch, aux)
+            if val_per_batch:
+                m = self._eval_metrics(preds, targets, val=True)
+                m[self.loss_name] = float(loss)
+                for k, v in aux.extra_losses.items():
+                    m[k] = float(v)
+                for k, v in m.items():
+                    totals[k] = totals.get(k, 0.0) + v
+            else:
+                all_preds.append(preds)
+                all_targets.append(targets)
+        if val_per_batch:
+            return {k: v / max(n_batches, 1) for k, v in totals.items()}
+        preds = np.concatenate(all_preds, axis=0)
+        targets = np.concatenate(all_targets, axis=0)
+        m = self._eval_metrics(preds, targets, val=True)
+        m[self.loss_name] = epoch_loss / max(n_batches, 1)
+        return m
+
+    def train(self, train_loader, val_loader) -> Dict[str, float]:
+        """Full fit loop with early stopping — reference Trainer.train."""
+        if self.state is None:
+            first = next(iter(train_loader))
+            self.init_state(first)
+        patience = self.args.get("patience", 20)
+        minimum_epochs = self.args.get("minimum_epochs", 0)
+        num_epochs = self.args.get("num_epochs", 10)
+        models_to_save = self.args.get("models_to_save", []) or []
+        epochs_no_improve = 0
+
+        for epoch in range(self.start_epoch, num_epochs + 1):
+            self.train_epoch(train_loader, epoch)
+            metrics = self.evaluate_epoch(val_loader, epoch)
+            val_score = metrics.get(self.main_metric, float("nan"))
+            for name, c in self.lr_controllers.items():
+                c.after_epoch(val_score)
+            self.logger.log(metrics, "val", self.optim_steps, epoch)
+            val_loss = metrics.get(self.loss_name, float("nan"))
+            print(f"[Epoch {epoch}] {self.main_metric}: {val_score:.6f} "
+                  f"val loss: {val_loss:.6f}")
+
+            improved = (val_score >= self.best_val_score
+                        if self.main_metric_goal == "max"
+                        else val_score <= self.best_val_score)
+            if improved:
+                epochs_no_improve = 0
+                self.best_val_score = val_score
+                self.save_checkpoint(epoch, "best_checkpoint.pt")
+            else:
+                epochs_no_improve += 1
+            self.save_checkpoint(epoch, "last_checkpoint.pt")
+
+            if epochs_no_improve >= patience and epoch >= minimum_epochs:
+                print(f"Early stopping after {epoch} epochs; best epoch was "
+                      f"{epoch - epochs_no_improve}.")
+                break
+            if epoch in models_to_save:
+                shutil.copyfile(os.path.join(self.run_dir, "best_checkpoint.pt"),
+                                os.path.join(self.run_dir,
+                                             f"best_checkpoint_{epoch}epochs.pt"))
+        # reload best and evaluate (reference trainer.py:106-109)
+        best = os.path.join(self.run_dir, "best_checkpoint.pt")
+        if os.path.exists(best):
+            self._load(best, restore_host=False)
+        return self.evaluation(val_loader, "val_best_checkpoint")
+
+    def evaluation(self, loader, data_split: str = "") -> Dict[str, float]:
+        metrics = self.evaluate_epoch(loader)
+        with open(os.path.join(self.run_dir,
+                               f"evaluation_{data_split}.txt"), "w") as f:
+            for k, v in metrics.items():
+                f.write(f"{k}: {v}\n")
+        return metrics
+
+    # ----------------------------------------------------------- checkpoints
+    def save_checkpoint(self, epoch: int, name: str):
+        host = {
+            "epoch": epoch,
+            "best_val_score": self.best_val_score,
+            "optim_steps": self.optim_steps,
+            "scheduler_state_dict": {k: c.state_dict()
+                                     for k, c in self.lr_controllers.items()},
+        }
+        save_checkpoint(os.path.join(self.run_dir, name), self.state, host)
+        cfg_path = os.path.join(self.run_dir, "train_arguments.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(_yamlable(self.args), f)
+
+    def _load(self, path: str, restore_host: bool = True):
+        self.state, host = load_checkpoint(path, self.state)
+        if restore_host and host:
+            self.start_epoch = host.get("epoch", 0) + 1
+            self.best_val_score = host.get("best_val_score", self.best_val_score)
+            self.optim_steps = host.get("optim_steps", 0)
+            sds = host.get("scheduler_state_dict") or {}
+            for k, sd in sds.items():
+                if k in self.lr_controllers and sd is not None:
+                    self.lr_controllers[k].load_state_dict(sd)
+
+
+def _yamlable(obj):
+    if isinstance(obj, dict):
+        return {k: _yamlable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_yamlable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)
+
+
+# ===========================================================================
+# contrastive trainer family
+# ===========================================================================
+
+class SelfSupervisedTrainer(Trainer):
+    """2D-vs-3D contrastive (reference trainer/self_supervised_trainer.py)."""
+
+    MODEL_KEYS = ("model", "model3d")
+
+    def _init_model(self, key, rng, batch):
+        graph = batch["graph2d"] if key == "model" else batch["graph3d"]
+        return self.models[key].init(rng, graph, deterministic=True)
+
+    def _loss_kwargs(self, batch):
+        g2 = batch["graph2d"]
+        if "Local" in type(self.loss_func).__name__:
+            return dict(node_graph=g2.node_graph, node_mask=g2.node_mask)
+        return {}
+
+    def loss_fn(self, params, batch_stats, batch, step, rng, train):
+        r2, r3 = jax.random.split(rng)
+        z1, s2 = self._apply(self.models["model"], params["model"],
+                             batch_stats["model"], batch["graph2d"], train, r2)
+        z2, s3 = self._apply(self.models["model3d"], params["model3d"],
+                             batch_stats["model3d"], batch["graph3d"], train, r3)
+        loss = self.loss_func(z1, z2, **self._loss_kwargs(batch))
+        return loss, AuxOut(z1, z2, {}), {"model": s2, "model3d": s3}
+
+    def _host_filter(self, batch, aux: AuxOut):
+        return np.asarray(aux.predictions), np.asarray(aux.targets)
+
+
+class SelfSupervisedAlternatingTrainer(SelfSupervisedTrainer):
+    """Gradients alternate sides each optim step
+    (self_supervised_alternating_trainer.py:10-22)."""
+
+    def loss_fn(self, params, batch_stats, batch, step, rng, train):
+        r2, r3 = jax.random.split(rng)
+        z1, s2 = self._apply(self.models["model"], params["model"],
+                             batch_stats["model"], batch["graph2d"], train, r2)
+        z2, s3 = self._apply(self.models["model3d"], params["model3d"],
+                             batch_stats["model3d"], batch["graph3d"], train, r3)
+        even = (step % 2) == 0
+        z1a = jnp.where(even, 1.0, 0.0) * z1 + \
+            jnp.where(even, 0.0, 1.0) * jax.lax.stop_gradient(z1)
+        z2a = jnp.where(even, 1.0, 0.0) * jax.lax.stop_gradient(z2) + \
+            jnp.where(even, 0.0, 1.0) * z2
+        # loss argument order also swaps on odd steps in the reference
+        loss_even = self.loss_func(z1a, z2a, **self._loss_kwargs(batch))
+        loss_odd = self.loss_func(z2a, z1a, **self._loss_kwargs(batch))
+        loss = jnp.where(even, loss_even, loss_odd)
+        return loss, AuxOut(z1, z2, {}), {"model": s2, "model3d": s3}
+
+
+class SelfSupervisedAETrainer(SelfSupervisedTrainer):
+    """Contrastive + distance reconstruction; model3d returns
+    (embedding, distance_preds) (self_supervised_ae_trainer.py:14-30)."""
+
+    def loss_fn(self, params, batch_stats, batch, step, rng, train):
+        r2, r3 = jax.random.split(rng)
+        z1, s2 = self._apply(self.models["model"], params["model"],
+                             batch_stats["model"], batch["graph2d"], train, r2)
+        (z2, dist_pred), s3 = self._apply(
+            self.models["model3d"], params["model3d"], batch_stats["model3d"],
+            batch["graph3d"], train, r3)
+        g3 = batch["graph3d"]
+        lc, lr_ = self.loss_func(z1, z2, distances=g3.edge_dist,
+                                 distance_pred=dist_pred, mask=g3.edge_mask)
+        return lc + lr_, AuxOut(z1, z2, {"contrastive_loss": lc,
+                                         "reconstruction_loss": lr_}), \
+            {"model": s2, "model3d": s3}
+
+
+class NoisyNegativesTrainer(SelfSupervisedTrainer):
+    """3D view carries extra noised conformers appended as negatives
+    (noisy_negatives_trainer.py); the loss (NTXentExtraNegatives) handles
+    the split."""
+
+    def loss_fn(self, params, batch_stats, batch, step, rng, train):
+        r2, r3, rn = jax.random.split(rng, 3)
+        z1, s2 = self._apply(self.models["model"], params["model"],
+                             batch_stats["model"], batch["graph2d"], train, r2)
+        z2, s3 = self._apply(self.models["model3d"], params["model3d"],
+                             batch_stats["model3d"], batch["graph3d"], train, r3)
+        zn, s3b = self._apply(self.models["model3d"], params["model3d"],
+                              s3, batch["noisy3d"], train, rn)
+        z2full = jnp.concatenate([z2, zn], axis=0)
+        loss = self.loss_func(z1, z2full, **self._loss_kwargs(batch))
+        return loss, AuxOut(z1, z2full, {}), {"model": s2, "model3d": s3b}
+
+
+class GraphCLTrainer(Trainer):
+    """Same model on two augmented 2D views (graphcl_trainer.py:11-15)."""
+
+    MODEL_KEYS = ("model",)
+
+    def _init_model(self, key, rng, batch):
+        return self.models[key].init(rng, batch["view1"], deterministic=True)
+
+    def loss_fn(self, params, batch_stats, batch, step, rng, train):
+        r1, r2 = jax.random.split(rng)
+        z1, s1 = self._apply(self.models["model"], params["model"],
+                             batch_stats["model"], batch["view1"], train, r1)
+        z2, s2 = self._apply(self.models["model"], params["model"],
+                             s1, batch["view2"], train, r2)
+        loss = self.loss_func(z1, z2)
+        return loss, AuxOut(z1, z2, {}), {"model": s2}
+
+    def _host_filter(self, batch, aux: AuxOut):
+        return np.asarray(aux.predictions), np.asarray(aux.targets)
+
+
+class BYOLTrainer(SelfSupervisedTrainer):
+    """BYOL student/teacher with EMA (byol_trainer.py + byol_wrapper.py).
+
+    Teacher parameters live in state.extra and are EMA-updated INSIDE the
+    jitted step (`_post_update`) — the TPU-native version of
+    `ma_teacher_update` after each optimizer step.
+    """
+
+    def __init__(self, *a, ma_decay: float = 0.99, **kw):
+        super().__init__(*a, **kw)
+        self.ma_decay = ma_decay
+
+    def _init_extra(self, params):
+        # teacher = materialized copy of each student's trunk (not aliased:
+        # the step donates its input buffers)
+        return {"teacher": jax.tree_util.tree_map(
+            jnp.copy,
+            {k: self._strip_predictor(params[k]) for k in self.MODEL_KEYS})}
+
+    @staticmethod
+    def _strip_predictor(p):
+        return {k: v for k, v in p.items() if k != "predictor"}
+
+    def loss_fn(self, params, batch_stats, batch, step, rng, train):
+        r2, r3 = jax.random.split(rng)
+        mdl2, mdl3 = self.models["model"], self.models["model3d"]
+        (pred2_s, proj2_t), s2 = self._apply_byol(
+            mdl2, params["model"], batch_stats["model"],
+            batch["graph2d"], train, r2, teacher_key="model")
+        (pred3_s, proj3_t), s3 = self._apply_byol(
+            mdl3, params["model3d"], batch_stats["model3d"],
+            batch["graph3d"], train, r3, teacher_key="model3d")
+        loss = (self.loss_func(pred2_s, jax.lax.stop_gradient(proj3_t)) +
+                self.loss_func(jax.lax.stop_gradient(proj2_t), pred3_s))
+        return loss, AuxOut(pred2_s, pred3_s, {}), {"model": s2, "model3d": s3}
+
+    def _apply_byol(self, model, params, batch_stats, graph, train, rng,
+                    teacher_key):
+        (pred_s, _), new_stats = self._apply(model, params, batch_stats, graph,
+                                             train, rng)
+        teacher_params = dict(self._teacher_params[teacher_key])
+        tp = dict(params)
+        tp.update(teacher_params)
+        (_, proj_t), _ = self._apply(model, tp, batch_stats, graph, False, rng)
+        return (pred_s, proj_t), new_stats
+
+    def _make_train_step(self):
+        # thread teacher params through loss via self._teacher_params closure
+        optim = self.optims["main"]
+        decay = self.ma_decay
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch, group_lrs, rng):
+            self._teacher_params = state.extra["teacher"]
+
+            def lf(params):
+                loss, aux, new_stats = self.loss_fn(
+                    params, state.batch_stats, batch, state.step, rng, True)
+                return loss, (aux, new_stats)
+
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                lf, has_aux=True)(state.params)
+            updates, opt_state = optim.update(grads, state.opt_state,
+                                              state.params, group_lrs)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+            teacher = jax.tree_util.tree_map(
+                lambda t, s: t * decay + s * (1.0 - decay),
+                state.extra["teacher"],
+                {k: self._strip_predictor(params[k]) for k in self.MODEL_KEYS})
+            return state.replace(params=params, opt_state=opt_state,
+                                 batch_stats=new_stats, step=state.step + 1,
+                                 extra={"teacher": teacher}), loss, aux
+
+        return step_fn
+
+    def _make_eval_step(self):
+        @jax.jit
+        def step_fn(state: TrainState, batch, rng):
+            self._teacher_params = state.extra["teacher"]
+            loss, aux, _ = self.loss_fn(state.params, state.batch_stats, batch,
+                                        state.step, rng, False)
+            return loss, aux
+
+        return step_fn
+
+
+class PhilosophyTrainer(SelfSupervisedTrainer):
+    """3-player adversarial training (philosophy_trainer.py): peasant loss
+    trains the 2D model, philosopher loss (peasant - critic) trains the 3D
+    model, critic loss trains the critic.  Three optimizers, one jitted step
+    computing all three gradient sets."""
+
+    MODEL_KEYS = ("model", "model3d", "critic")
+
+    def __init__(self, *a, critic_loss=None, **kw):
+        super().__init__(*a, **kw)
+        self.critic_loss_func = critic_loss
+
+    def _init_model(self, key, rng, batch):
+        if key == "critic":
+            z = jnp.zeros((batch["graph2d"].num_graphs,
+                           self.args.get("critic_in_dim", 256)))
+            return self.models[key].init(rng, z, deterministic=True)
+        return super()._init_model(key, rng, batch)
+
+    def _build_optimizers(self, params):
+        op = dict(self.args.get("optimizer_params", {}) or {})
+        betas = tuple(op.pop("betas", (0.9, 0.999)))
+        lr = op.pop("lr", 1e-3)
+        wd = op.pop("weight_decay", 0.0)
+        for key in self.MODEL_KEYS:
+            labels, active = label_params({key: params[key]})
+            opt = GroupedOptimizer(labels, name=self.args.get("optimizer", "Adam"),
+                                   lr=lr, weight_decay=wd, betas=betas)
+            self.optims[key] = opt
+            self.active_groups[key] = active
+            self.lr_controllers[key] = LRController(
+                opt.group_start_lrs(active), self.args.get("lr_scheduler"),
+                self.args.get("lr_scheduler_params"),
+                step_per_batch=self.scheduler_step_per_batch)
+
+    def _init_opt_state(self, params):
+        return {k: self.optims[k].init({k: params[k]}) for k in self.MODEL_KEYS}
+
+    def _full_lr_vectors(self):
+        return {k: super(PhilosophyTrainer, self)._full_lr_vector(k)
+                for k in self.MODEL_KEYS}
+
+    def _forward(self, params, batch_stats, batch, rng, train):
+        r2, r3 = jax.random.split(rng)
+        z1, s2 = self._apply(self.models["model"], params["model"],
+                             batch_stats["model"], batch["graph2d"], train, r2)
+        z2, s3 = self._apply(self.models["model3d"], params["model3d"],
+                             batch_stats["model3d"], batch["graph3d"], train, r3)
+        recon, sc = self._apply(self.models["critic"], params["critic"],
+                                batch_stats["critic"], z2, train, rng)
+        critic_loss = self.critic_loss_func(z2, recon)
+        peasant_loss = self.loss_func(z1, z2, **self._loss_kwargs(batch))
+        philosopher_loss = peasant_loss - critic_loss
+        return (peasant_loss, philosopher_loss, critic_loss, z1, z2,
+                {"model": s2, "model3d": s3, "critic": sc})
+
+    def _make_train_step(self):
+        optims = self.optims
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch, group_lrs, rng):
+            def peasant(pm):
+                p = dict(state.params); p["model"] = pm
+                pl, _, _, z1, z2, stats = self._forward(
+                    p, state.batch_stats, batch, rng, True)
+                return pl, (z1, z2, stats)
+
+            def philosopher(pm3):
+                p = dict(state.params); p["model3d"] = pm3
+                pl, phl, _, _, _, _ = self._forward(
+                    p, state.batch_stats, batch, rng, True)
+                return phl, pl
+
+            def critic(pc):
+                p = dict(state.params); p["critic"] = pc
+                _, _, cl, _, _, _ = self._forward(
+                    p, state.batch_stats, batch, rng, True)
+                return cl
+
+            (pl, (z1, z2, stats)), g_model = jax.value_and_grad(
+                peasant, has_aux=True)(state.params["model"])
+            (phl, _), g_model3d = jax.value_and_grad(
+                philosopher, has_aux=True)(state.params["model3d"])
+            cl, g_critic = jax.value_and_grad(critic)(state.params["critic"])
+
+            new_params, new_opt = {}, {}
+            for key, grads in (("model", g_model), ("model3d", g_model3d),
+                               ("critic", g_critic)):
+                upd, new_opt[key] = optims[key].update(
+                    {key: grads}, state.opt_state[key],
+                    {key: state.params[key]}, group_lrs[key])
+                new_params[key] = jax.tree_util.tree_map(
+                    lambda p, u: p + u, state.params[key], upd[key])
+            aux = AuxOut(z1, z2, {"philosopher_loss": phl,
+                                  type(self.critic_loss_func).__name__: cl})
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 batch_stats=stats, step=state.step + 1), pl, aux
+
+        return step_fn
+
+    def _make_eval_step(self):
+        @jax.jit
+        def step_fn(state: TrainState, batch, rng):
+            pl, phl, cl, z1, z2, _ = self._forward(
+                state.params, state.batch_stats, batch, rng, False)
+            return pl, AuxOut(z1, z2, {"philosopher_loss": phl,
+                                       type(self.critic_loss_func).__name__: cl})
+
+        return step_fn
+
+    def train_epoch(self, loader, epoch: int):
+        log_iterations = self.args.get("log_iterations", 20)
+        for i, batch in enumerate(loader):
+            train_step, _ = self._steps_for(batch)
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, loss, aux = train_step(self.state, batch,
+                                               self._full_lr_vectors(), sub)
+            self.optim_steps += 1
+            self._after_optim_step()
+            if self.optim_steps % log_iterations == 0:
+                preds, targets = self._host_filter(batch, aux)
+                m = self._eval_metrics(preds, targets)
+                m[self.loss_name] = float(loss)
+                for k, v in aux.extra_losses.items():
+                    m[k] = float(v)
+                self.logger.log(m, "train", self.optim_steps, epoch)
+
+
+TRAINER_REGISTRY = {
+    "default": Trainer,
+    "contrastive": SelfSupervisedTrainer,
+    "alternating": SelfSupervisedAlternatingTrainer,
+    "autoencoder": SelfSupervisedAETrainer,
+    "byol": BYOLTrainer,
+    "philosophy": PhilosophyTrainer,
+    "graphcl_trainer": GraphCLTrainer,
+    "noisy_negatives": NoisyNegativesTrainer,
+}
