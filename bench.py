@@ -1,0 +1,136 @@
+"""Benchmark: contrastive pre-train throughput on the flagship PNA+Net3D pair.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures the full fused train step (forward + backward + Adam update, NT-Xent
+over the batch) at the reference pre-train_QM9.yml architecture (PNA 200x7 +
+Net3D) and reports edges/s (2D bond edges + 3D complete-graph edges — the
+SpMM-equivalent work the BASELINE targets).
+
+vs_baseline: the reference publishes NO throughput numbers (BASELINE.md); we
+anchor against a measured reference-equivalent PyTorch CPU run when available,
+else report the ratio vs a recorded previous run of this bench (1.0 first
+time).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+HIST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    ".bench_history.json")
+
+
+def main():
+    import jax
+    from infomax3d_tpu.utils.setup import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
+    from infomax3d_tpu.data.synthetic import SyntheticMolecules
+    from infomax3d_tpu.graphs.batch import BucketSpec, batch_graphs, to_graph_batch
+    from infomax3d_tpu.losses import LOSS_REGISTRY
+    from infomax3d_tpu.models import PNA, Net3D
+    from infomax3d_tpu.train.optim import GroupedOptimizer, label_params
+
+    # pre-train_QM9.yml architecture (configs_clean/pre-train_QM9.yml)
+    B = 500
+    pna = PNA(hidden_dim=200, target_dim=256,
+              aggregators=["mean", "max", "min", "std"],
+              scalers=["identity", "amplification", "attenuation"],
+              readout_aggregators=["min", "max", "mean"], mid_batch_norm=True,
+              last_batch_norm=True, readout_batchnorm=True,
+              batch_norm_momentum=0.93, readout_hidden_dim=200,
+              propagation_depth=7, readout_layers=2, pretrans_layers=2,
+              posttrans_layers=1)
+    net3d = Net3D(hidden_dim=20, target_dim=256,
+                  readout_aggregators=["min", "max", "mean"], batch_norm=True,
+                  readout_batchnorm=True, batch_norm_momentum=0.93,
+                  readout_hidden_dim=20, node_wise_output_layers=0,
+                  message_net_layers=1, update_net_layers=1, reduce_func="mean",
+                  fourier_encodings=4, propagation_depth=1, readout_layers=1)
+
+    # QM9-like molecules: ~18 heavy+H atoms
+    ds = SyntheticMolecules(B, seed=0, n_min=10, n_max=26)
+    mols2 = [ds.graph2d(i) for i in range(B)]
+    mols3 = [ds.graph3d(i) for i in range(B)]
+    n_tot = sum(m["node_feat"].shape[0] for m in mols2)
+    e2 = sum(m["senders"].shape[0] for m in mols2)
+    e3 = sum(m["senders"].shape[0] for m in mols3)
+    b2 = BucketSpec(B, ((n_tot + 255) // 256) * 256, ((e2 + 511) // 512) * 512)
+    b3 = BucketSpec(B, b2.n_nodes, ((e3 + 2047) // 2048) * 2048)
+    g2 = to_graph_batch(batch_graphs(mols2, b2))
+    g3 = to_graph_batch(batch_graphs(mols3, b3))
+
+    rng = jax.random.key(0)
+    v2 = pna.init(rng, g2, deterministic=True)
+    v3 = net3d.init(rng, g3, deterministic=True)
+    params = {"model": v2["params"], "model3d": v3["params"]}
+    stats = {"model": v2.get("batch_stats", {}),
+             "model3d": v3.get("batch_stats", {})}
+    labels, active = label_params(params)
+    opt = GroupedOptimizer(labels, name="Adam", lr=8e-5)
+    opt_state = opt.init(params)
+    lrs = np.zeros(4, np.float32)
+    lrs[:2] = 8e-5
+    lrs = jax.numpy.asarray(lrs)
+    loss_fn_obj = LOSS_REGISTRY["NTXent"](tau=0.1)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, stats, g2, g3):
+        def lf(p):
+            z1, mut2 = pna.apply({"params": p["model"],
+                                  "batch_stats": stats["model"]}, g2,
+                                 deterministic=False, mutable=["batch_stats"])
+            z2, mut3 = net3d.apply({"params": p["model3d"],
+                                    "batch_stats": stats["model3d"]}, g3,
+                                   deterministic=False, mutable=["batch_stats"])
+            return loss_fn_obj(z1, z2), (mut2, mut3)
+
+        (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state2 = opt.update(grads, opt_state, params, lrs)
+        params2 = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+        return params2, opt_state2, loss
+
+    # warmup/compile
+    params, opt_state, loss = step(params, opt_state, stats, g2, g3)
+    jax.block_until_ready(loss)
+
+    n_iter = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        params, opt_state, loss = step(params, opt_state, stats, g2, g3)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    edges_per_step = e2 + e3
+    edges_per_s = edges_per_step / dt
+    graphs_per_s = B / dt
+
+    prev = None
+    if os.path.exists(HIST):
+        try:
+            prev = json.load(open(HIST)).get("edges_per_s")
+        except Exception:
+            prev = None
+    vs_baseline = (edges_per_s / prev) if prev else 1.0
+    with open(HIST, "w") as f:
+        json.dump({"edges_per_s": edges_per_s, "graphs_per_s": graphs_per_s,
+                   "step_ms": dt * 1e3, "batch": B,
+                   "edges_per_step": edges_per_step,
+                   "device": str(jax.devices()[0])}, f)
+
+    print(json.dumps({
+        "metric": "pretrain_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s (PNA200x7+Net3D fused train step, batch 500)",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,13 +151,20 @@ class GraphDataLoader:
                  ladder: Optional[Sequence[BucketSpec]] = None,
                  shuffle: bool = True, drop_last: bool = False,
                  seed: int = 0, indices: Optional[Sequence[int]] = None,
-                 prefetch: int = 2, collate_kwargs: Optional[Dict] = None):
+                 prefetch: int = 2, collate_kwargs: Optional[Dict] = None,
+                 n_shards: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate if callable(collate) else get_collate(collate)
         self.bucket = bucket
         self.ladder = list(ladder) if ladder else None
         self.shuffle = shuffle
+        self.n_shards = n_shards
+        if n_shards > 1:
+            if batch_size % n_shards:
+                raise ValueError(f"batch_size {batch_size} not divisible by "
+                                 f"n_shards {n_shards}")
+            drop_last = True  # every shard must be full
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.indices = np.asarray(indices if indices is not None
@@ -169,6 +176,17 @@ class GraphDataLoader:
         n = len(self.indices)
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
+
+    def _shard_bucket(self, bucket: BucketSpec) -> BucketSpec:
+        s = self.n_shards
+        return BucketSpec(bucket.n_graphs // s, bucket.n_nodes // s,
+                          bucket.n_edges // s)
+
+    def _shard_kwargs(self) -> Dict:
+        kw = dict(self.collate_kwargs)
+        if isinstance(kw.get("bucket3d"), BucketSpec):
+            kw["bucket3d"] = self._shard_bucket(kw["bucket3d"])
+        return kw
 
     def _batches(self) -> Iterator:
         idx = self.indices.copy()
@@ -184,7 +202,19 @@ class GraphDataLoader:
                 n_tot = sum(it["graph2d"]["node_feat"].shape[0] for it in items)
                 e_tot = sum(it["graph2d"]["senders"].shape[0] for it in items)
                 bucket = pick_bucket(self.ladder, n_tot, e_tot)
-            yield self.collate(items, bucket, **self.collate_kwargs)
+            if self.n_shards == 1:
+                yield self.collate(items, bucket, **self.collate_kwargs)
+                continue
+            # data-parallel: one padded sub-batch per device, stacked on a
+            # leading axis consumed by shard_map (no molecule ever crosses a
+            # shard boundary)
+            per = len(items) // self.n_shards
+            import jax
+            sub = [self.collate(items[s * per:(s + 1) * per],
+                                self._shard_bucket(bucket),
+                                **self._shard_kwargs())
+                   for s in range(self.n_shards)]
+            yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *sub)
 
     def __iter__(self):
         if self.prefetch <= 0:

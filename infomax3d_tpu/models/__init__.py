@@ -10,6 +10,9 @@ register_model("PNAGNN")(PNAGNN)
 register_model("Net3D")(Net3D)
 
 from infomax3d_tpu.models.byol import BYOLWrapper, Critic  # noqa: E402
+from infomax3d_tpu.models.gin import OGBGNN  # noqa: E402
+from infomax3d_tpu.models.egnn import EGNN  # noqa: E402
+from infomax3d_tpu.models.net3d_vae import Net3DAE  # noqa: E402
 
 __all__ = [
     "MODEL_REGISTRY", "get_model_class", "register_model",

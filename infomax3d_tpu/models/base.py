@@ -87,18 +87,30 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            from infomax3d_tpu.parallel.context import cross_replica_axis
+            axis = cross_replica_axis()
             xf = x.astype(jnp.float32)
+            red = tuple(range(xf.ndim - 1))
             if mask is not None:
                 m = mask.astype(jnp.float32)
                 while m.ndim < xf.ndim:
                     m = m[..., None]
-                count = jnp.maximum(m.sum(), 1.0)
-                mean = (xf * m).sum(axis=tuple(range(xf.ndim - 1))) / count
-                var = ((xf - mean) ** 2 * m).sum(axis=tuple(range(xf.ndim - 1))) / count
+                count = m.sum()
+                s1 = (xf * m).sum(axis=red)
+                s2 = (xf * xf * m).sum(axis=red)
             else:
                 count = jnp.asarray(x.size / features, jnp.float32)
-                mean = xf.mean(axis=tuple(range(xf.ndim - 1)))
-                var = xf.var(axis=tuple(range(xf.ndim - 1)))
+                s1 = xf.sum(axis=red)
+                s2 = (xf * xf).sum(axis=red)
+            if axis is not None:
+                # data-parallel: statistics over the GLOBAL batch (parity with
+                # single-device training)
+                count = jax.lax.psum(count, axis)
+                s1 = jax.lax.psum(s1, axis)
+                s2 = jax.lax.psum(s2, axis)
+            count = jnp.maximum(count, 1.0)
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
             if not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean

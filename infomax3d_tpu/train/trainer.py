@@ -46,7 +46,9 @@ class AuxOut(NamedTuple):
 
 def _elementwise_supervised_loss(name: str, pred, target, valid):
     """Masked supervised losses: padded graph rows / NaN labels excluded,
-    value identical to the reference's unpadded computation."""
+    value identical to the reference's unpadded computation.  Under data
+    parallelism the sum/count aggregate across shards so the value equals the
+    global-batch loss."""
     if name in ("L1Loss", "MAE"):
         per = jnp.abs(pred - jnp.where(valid, target, 0.0))
     elif name in ("MSELoss",):
@@ -58,7 +60,14 @@ def _elementwise_supervised_loss(name: str, pred, target, valid):
         per = (pred - jnp.where(valid, target, 0.0)) ** 2
     else:
         raise KeyError(f"unsupported supervised loss '{name}'")
-    return jnp.sum(jnp.where(valid, per, 0.0)) / jnp.maximum(valid.sum(), 1)
+    total = jnp.sum(jnp.where(valid, per, 0.0))
+    count = valid.sum()
+    from infomax3d_tpu.parallel.context import cross_replica_axis
+    axis = cross_replica_axis()
+    if axis is not None:
+        total = jax.lax.psum(total, axis)
+        count = jax.lax.psum(count, axis)
+    return total / jnp.maximum(count, 1)
 
 
 class Trainer:
@@ -75,6 +84,9 @@ class Trainer:
         self.models = models
         self.args = args
         self.metrics = metrics
+        if mesh is not None and loss_func is not None:
+            from infomax3d_tpu.parallel.collectives import CrossDeviceLoss
+            loss_func = CrossDeviceLoss(loss_func, mesh.axis_names[0])
         self.loss_func = loss_func
         self.loss_name = loss_name
         self.main_metric = loss_name if main_metric == "loss" else main_metric
@@ -178,6 +190,8 @@ class Trainer:
 
     # ------------------------------------------------------------- jit steps
     def _make_train_step(self):
+        if self.mesh is not None:
+            return self._make_parallel_step(train=True)
         optim = self.optims["main"]
 
         @partial(jax.jit, donate_argnums=(0,))
@@ -205,6 +219,9 @@ class Trainer:
         return state
 
     def _make_eval_step(self):
+        if self.mesh is not None:
+            return self._make_parallel_step(train=False)
+
         @jax.jit
         def step_fn(state: TrainState, batch, rng):
             loss, aux, _ = self.loss_fn(state.params, state.batch_stats, batch,
@@ -212,6 +229,68 @@ class Trainer:
             return loss, aux
 
         return step_fn
+
+    # ----------------------------------------------------- data-parallel step
+    def _make_parallel_step(self, train: bool):
+        """shard_map'd data-parallel step over the 'data' mesh axis.
+
+        Batches arrive with a leading device axis [n_dev, ...] (loader
+        `n_shards`); params/state replicated.  Inside the shard each device
+        computes its local forward; global coupling happens through (i)
+        CrossDeviceLoss all_gather for contrastive objectives, (ii) psum'd
+        masked BN statistics and supervised loss sums, (iii) psum'd gradients
+        — so loss values and parameter updates are identical to single-device
+        training on the concatenated batch.
+        """
+        from jax.sharding import PartitionSpec as P
+        from infomax3d_tpu.parallel.context import using_cross_replica_axis
+        axis = self.mesh.axis_names[0]
+        optim = self.optims["main"] if train else None
+
+        def core(state, batch, group_lrs, rng):
+            local = jax.tree_util.tree_map(lambda a: a[0], batch)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            with using_cross_replica_axis(axis):
+                if not train:
+                    loss, aux, _ = self.loss_fn(state.params, state.batch_stats,
+                                                local, state.step, rng, False)
+                    return jax.lax.pmean(loss, axis), aux
+
+                def lf(params):
+                    loss, aux, new_stats = self.loss_fn(
+                        params, state.batch_stats, local, state.step, rng, True)
+                    return loss, (aux, new_stats)
+
+                (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                    lf, has_aux=True)(state.params)
+            # per-device losses are identical (global loss via collectives);
+            # JAX's collective transposes differentiate the per-device SUM,
+            # so pmean recovers d(loss)/d(params) exactly
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = optim.update(grads, state.opt_state,
+                                              state.params, group_lrs)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+            new_state = state.replace(params=params, opt_state=opt_state,
+                                      batch_stats=new_stats,
+                                      step=state.step + 1)
+            new_state = self._post_update(new_state)
+            return new_state, jax.lax.pmean(loss, axis), aux
+
+        if train:
+            in_specs = (P(), P(axis), P(), P())
+            out_specs = (P(), P(), P(axis))
+            donate = (0,)
+        else:
+            core_eval = lambda state, batch, rng: core(state, batch, None, rng)
+            in_specs = (P(), P(axis), P())
+            out_specs = (P(), P(axis))
+            donate = ()
+
+        fn = core if train else core_eval
+        mapped = jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False)
+        return jax.jit(mapped, donate_argnums=donate)
 
     def _steps_for(self, batch):
         key = jax.tree_util.tree_structure(batch)
@@ -224,9 +303,14 @@ class Trainer:
 
     # ---------------------------------------------------------------- epochs
     def _host_filter(self, batch, aux: AuxOut):
-        """Pull real rows to host for metric accumulation."""
-        mask = np.asarray(batch["graph"].graph_mask)
-        return (np.asarray(aux.predictions)[mask], np.asarray(aux.targets)[mask])
+        """Pull real rows to host for metric accumulation (handles the
+        leading device axis of parallel batches by flattening)."""
+        mask = np.asarray(batch["graph"].graph_mask).reshape(-1)
+        preds = np.asarray(aux.predictions)
+        targets = np.asarray(aux.targets)
+        preds = preds.reshape(mask.shape[0], *preds.shape[-1:])
+        targets = targets.reshape(mask.shape[0], *targets.shape[-1:])
+        return preds[mask], targets[mask]
 
     def _eval_metrics(self, preds, targets, val=False) -> Dict[str, float]:
         res = {
@@ -416,8 +500,12 @@ class SelfSupervisedTrainer(Trainer):
 
     def _loss_kwargs(self, batch):
         g2 = batch["graph2d"]
-        if "Local" in type(self.loss_func).__name__:
-            return dict(node_graph=g2.node_graph, node_mask=g2.node_mask)
+        inner = getattr(self.loss_func, "loss", self.loss_func)
+        if "Local" in type(inner).__name__:
+            kw = dict(node_graph=g2.node_graph, node_mask=g2.node_mask)
+            if self.mesh is not None:
+                kw["_n_graphs_local"] = g2.num_graphs
+            return kw
         return {}
 
     def loss_fn(self, params, batch_stats, batch, step, rng, train):

@@ -20,12 +20,20 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
     if _CACHE_ENABLED:
         return
     import jax
+    if jax.default_backend() == "cpu":
+        # CPU-only runs (tests) compile fast and — behind a remote-compile
+        # tunnel — cached CPU AOT artifacts may target the service's machine
+        # features, not this host's (SIGILL risk).  Skip.
+        _CACHE_ENABLED = True
+        return
     path = path or os.environ.get(
         "INFOMAX3D_JAX_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "infomax3d_jax"))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # threshold keeps small host-side CPU-backend ops (metrics) out of the
+    # cache; the big fused TPU train steps stay in
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     _CACHE_ENABLED = True
 
 
