@@ -106,6 +106,54 @@ def _complete_edge_cap(items) -> int:
     return int(sum(len(it["graph3d"]["senders"]) for it in items) * 1.0 + 64)
 
 
+@register_collate("san_collate")
+def san_collate(items: Sequence[Dict], bucket: BucketSpec, max_nodes: int = 40,
+                num_lap_pe: int = 10, rng: Optional[np.random.Generator] = None,
+                sign_flip: bool = False):
+    """Dense batch for SAN: padded node/bond codes, real-edge mask, LapPE
+    (reference san_graph return type + padded collates)."""
+    from infomax3d_tpu.data.featurize import lap_pe_node_array, random_sign_flip
+    from infomax3d_tpu.graphs.dense import dense_batch, to_dense_batch
+    graphs = []
+    for it in items:
+        g = dict(it["graph2d"])
+        if "lap_pe" not in g or g["lap_pe"] is None or g["lap_pe"].ndim != 3:
+            g["lap_pe"] = lap_pe_node_array(g["senders"], g["receivers"],
+                                            g["node_feat"].shape[0], num_lap_pe)
+        if sign_flip and rng is not None:
+            g["lap_pe"] = random_sign_flip(g["lap_pe"], rng)
+        if "targets" in it:
+            g["targets"] = it["targets"]
+        graphs.append(g)
+    extras = ["targets"] if "targets" in items[0] else []
+    arrays = dense_batch(graphs, bucket.n_graphs, max_nodes,
+                         extras_keys=extras, num_lap_pe=num_lap_pe)
+    return {"graph": to_dense_batch(arrays, extras_keys=extras)}
+
+
+@register_collate("padded_collate_positional_encoding")
+def padded_collate_positional_encoding(items, bucket, max_nodes: int = 40,
+                                       num_lap_pe: int = 10, **kw):
+    """Dense padded batch with LapPE for TransformerPlain
+    (reference custom_collate.py:349-358)."""
+    return san_collate(items, bucket, max_nodes=max_nodes,
+                       num_lap_pe=num_lap_pe, **kw)
+
+
+@register_collate("pairwise_distance_collate")
+def pairwise_distance_collate(items: Sequence[Dict], bucket: BucketSpec,
+                              bucket3d: Optional[BucketSpec] = None):
+    """2D graph + complete pair graph carrying true pairwise distances as
+    targets (reference custom_collate.py:65-78).  Node layouts are aligned:
+    both views use the same node bucket so flat indices coincide."""
+    g2 = batch_graphs([it["graph2d"] for it in items], bucket)
+    b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
+                                _complete_edge_cap(items))
+    pairs = batch_graphs([it["graph3d"] for it in items],
+                         BucketSpec(b3.n_graphs, bucket.n_nodes, b3.n_edges))
+    return {"graph": to_graph_batch(g2), "pairs": to_graph_batch(pairs)}
+
+
 @register_collate("graphcl_collate")
 def graphcl_collate(items: Sequence[Dict], bucket: BucketSpec,
                     rng: Optional[np.random.Generator] = None,

@@ -61,6 +61,7 @@ class GraphBatch:
     coords: Optional[jnp.ndarray] = None      # [N, 3]
     edge_dist: Optional[jnp.ndarray] = None   # [E] distances for 3D complete graphs
     edge_graph: Optional[jnp.ndarray] = None  # [E] int32 edge -> graph (pad -> G)
+    node_pos: Optional[jnp.ndarray] = None    # [N] int32 position within graph
     snorm: Optional[jnp.ndarray] = None       # [N, 1] 1/sqrt(n) per node (s_norm collates)
     lap_pe: Optional[jnp.ndarray] = None      # [N, k] Laplacian positional encoding
     extras: Dict[str, jnp.ndarray] = struct.field(default_factory=dict)
@@ -150,6 +151,9 @@ def batch_graphs(
 
     node_graph = np.full(N, G, dtype=np.int32)
     node_graph[:n_tot] = np.repeat(np.arange(g_real, dtype=np.int32), n_per)
+    node_pos = np.zeros(N, dtype=np.int32)
+    node_pos[:n_tot] = np.concatenate(
+        [np.arange(n, dtype=np.int32) for n in n_per])
     edge_graph = np.full(E, G, dtype=np.int32)
     if e_tot:
         edge_graph[:e_tot] = np.repeat(np.arange(g_real, dtype=np.int32), e_per)
@@ -165,8 +169,9 @@ def batch_graphs(
 
     out: Dict[str, np.ndarray] = dict(
         node_feat=node_feat, senders=senders, receivers=receivers,
-        node_graph=node_graph, edge_graph=edge_graph, node_mask=node_mask,
-        edge_mask=edge_mask, graph_mask=graph_mask, n_nodes=n_nodes,
+        node_graph=node_graph, edge_graph=edge_graph, node_pos=node_pos,
+        node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
+        n_nodes=n_nodes,
     )
 
     def _pad_node_field(key):
@@ -212,6 +217,7 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
         receivers=jnp.asarray(arrays["receivers"]),
         node_graph=jnp.asarray(arrays["node_graph"]),
         edge_graph=jnp.asarray(arrays["edge_graph"]),
+        node_pos=jnp.asarray(arrays["node_pos"]) if "node_pos" in arrays else None,
         node_mask=jnp.asarray(arrays["node_mask"]),
         edge_mask=jnp.asarray(arrays["edge_mask"]),
         graph_mask=jnp.asarray(arrays["graph_mask"]),

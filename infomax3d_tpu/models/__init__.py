@@ -13,6 +13,10 @@ from infomax3d_tpu.models.byol import BYOLWrapper, Critic  # noqa: E402
 from infomax3d_tpu.models.gin import OGBGNN  # noqa: E402
 from infomax3d_tpu.models.egnn import EGNN  # noqa: E402
 from infomax3d_tpu.models.net3d_vae import Net3DAE  # noqa: E402
+from infomax3d_tpu.models.san import SAN  # noqa: E402
+from infomax3d_tpu.models.transformer import (  # noqa: E402
+    DistancePredictor, PNATransformer, TransformerPlain,
+)
 
 __all__ = [
     "MODEL_REGISTRY", "get_model_class", "register_model",

@@ -1,0 +1,243 @@
+"""Dense transformer models + PNA-Transformer hybrid + distance predictors.
+
+- TransformerPlain / TransformerGNN (reference `models/transformer.py:17-81`):
+  padded dense transformer over atoms with Laplacian PE and a prepended
+  virtual readout token.
+- PNATransformer (reference `models/pna_transformer.py:19-167`): per layer, a
+  sparse PNA message-passing pass on the flat graph combined with a dense
+  TransformerEncoder pass over the padded copy, merged by an MLP.  The
+  flat<->dense exchange uses (node_graph, node_pos) scatter/gather instead of
+  the reference's boolean-mask view tricks.
+- DistancePredictor / PNADistancePredictor (reference
+  `models/distance_predictor.py`): 2D GNN (+ optional transformer layer)
+  predicts all pairwise distances via a symmetrized distance net.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from infomax3d_tpu.graphs.batch import GraphBatch
+from infomax3d_tpu.graphs.dense import DenseGraphBatch
+from infomax3d_tpu.models.attention import TransformerEncoderBlock
+from infomax3d_tpu.models.base import MLP, AtomEncoder
+from infomax3d_tpu.models.pna import PNAGNN, PNALayer
+from infomax3d_tpu.models.registry import register_model
+
+
+def flat_to_dense(h: jnp.ndarray, g: GraphBatch, max_nodes: int) -> jnp.ndarray:
+    """[N, D] flat node features -> [G, max_nodes, D] padded dense."""
+    G = g.num_graphs
+    flat_idx = g.node_graph * max_nodes + g.node_pos       # pad -> out of range
+    dense = jnp.zeros((G * max_nodes, h.shape[-1]), h.dtype)
+    dense = dense.at[flat_idx].set(h, mode="drop")
+    return dense.reshape(G, max_nodes, -1)
+
+
+def dense_to_flat(dense: jnp.ndarray, g: GraphBatch) -> jnp.ndarray:
+    """[G, max_nodes, D] -> [N, D] flat (padding rows get garbage; mask)."""
+    G, max_nodes, D = dense.shape
+    flat_idx = (g.node_graph * max_nodes + g.node_pos).clip(0, G * max_nodes - 1)
+    return jnp.take(dense.reshape(G * max_nodes, D), flat_idx, axis=0)
+
+
+def dense_node_mask(g: GraphBatch, max_nodes: int) -> jnp.ndarray:
+    G = g.num_graphs
+    flat_idx = g.node_graph * max_nodes + g.node_pos
+    m = jnp.zeros(G * max_nodes, bool).at[flat_idx].set(
+        g.node_mask, mode="drop")
+    return m.reshape(G, max_nodes)
+
+
+class TransformerGNN(nn.Module):
+    """Reference TransformerGNN (models/transformer.py:46-81)."""
+    hidden_dim: int
+    dim_feedforward: int
+    nhead: int = 4
+    pos_enc_dim: int = 16
+    activation: str = "relu"
+    propagation_depth: int = 5
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: DenseGraphBatch, deterministic=True):
+        G, N = g.node_feat.shape[:2]
+        h = AtomEncoder(self.hidden_dim - self.pos_enc_dim,
+                        name="atom_encoder")(g.node_feat.reshape(G * N, -1))
+        h = h.reshape(G, N, -1)
+        pe = nn.Dense(self.pos_enc_dim, name="pos_enc_mlp")(
+            jnp.nan_to_num(g.lap_pe))                       # [G,N,k,pe]
+        pe = jnp.where(g.lap_pe_mask[..., None], pe, 0.0).sum(axis=2)
+        h = jnp.concatenate([h, pe], axis=-1)
+        v_node = self.param("v_node", nn.initializers.normal(1.0),
+                            (self.hidden_dim,))
+        h = jnp.concatenate(
+            [jnp.broadcast_to(v_node[None, None, :], (G, 1, self.hidden_dim)), h],
+            axis=1)
+        key_mask = jnp.concatenate(
+            [jnp.ones((G, 1), bool), g.node_mask], axis=1)
+        for i in range(self.propagation_depth):
+            h = TransformerEncoderBlock(
+                self.hidden_dim, self.nhead, self.dim_feedforward,
+                dropout=self.dropout, activation=self.activation,
+                name=f"mp_{i}")(h, key_mask, deterministic=deterministic)
+        return h
+
+
+@register_model("TransformerPlain")
+class TransformerPlain(nn.Module):
+    hidden_dim: int
+    target_dim: int
+    dropout: float = 0.0
+    nhead: int = 4
+    dim_feedforward: int = 256
+    readout_batchnorm: bool = True
+    readout_hidden_dim: Optional[int] = None
+    activation: str = "relu"
+    readout_layers: int = 2
+    batch_norm_momentum: float = 0.1
+    propagation_depth: int = 5
+    pos_enc_dim: int = 16
+    node_dim: int = 9
+
+    @nn.compact
+    def __call__(self, g: DenseGraphBatch, deterministic=True):
+        h = TransformerGNN(self.hidden_dim, self.dim_feedforward, self.nhead,
+                           self.pos_enc_dim, self.activation,
+                           self.propagation_depth, self.dropout,
+                           name="node_gnn")(g, deterministic=deterministic)
+        rh = self.readout_hidden_dim or self.hidden_dim
+        return MLP(out_dim=self.target_dim, hidden_size=rh,
+                   layers=self.readout_layers,
+                   mid_batch_norm=self.readout_batchnorm,
+                   batch_norm_momentum=self.batch_norm_momentum,
+                   name="output")(h[:, 0, :], mask=g.extras.get("graph_mask"),
+                                  deterministic=deterministic)
+
+
+@register_model("PNATransformer")
+class PNATransformer(nn.Module):
+    """Hybrid: sparse PNA layer + dense transformer layer per depth, combined
+    by an MLP (reference models/pna_transformer.py:19-167)."""
+    hidden_dim: int
+    target_dim: int
+    aggregators: Sequence[str]
+    scalers: Sequence[str]
+    readout_aggregators: Sequence[str]
+    max_nodes: int = 40
+    nhead: int = 4
+    dim_feedforward: int = 256
+    readout_batchnorm: bool = True
+    readout_hidden_dim: Optional[int] = None
+    readout_layers: int = 2
+    residual: bool = True
+    activation: str = "relu"
+    last_activation: str = "none"
+    mid_batch_norm: bool = False
+    last_batch_norm: bool = False
+    propagation_depth: int = 5
+    dropout: float = 0.0
+    posttrans_layers: int = 1
+    pretrans_layers: int = 1
+    batch_norm_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, deterministic=True, return_nodes=False):
+        from infomax3d_tpu.models.base import BondEncoder
+        from infomax3d_tpu.ops.segment import graph_readout
+        h = AtomEncoder(self.hidden_dim, name="atom_encoder")(g.node_feat)
+        e = BondEncoder(self.hidden_dim, name="bond_encoder")(g.edge_feat)
+        dmask = dense_node_mask(g, self.max_nodes)
+        for i in range(self.propagation_depth):
+            h_sparse = PNALayer(
+                in_dim=self.hidden_dim, out_dim=self.hidden_dim,
+                in_dim_edges=self.hidden_dim, aggregators=self.aggregators,
+                scalers=self.scalers, residual=self.residual,
+                dropout=self.dropout, activation=self.activation,
+                last_activation=self.last_activation,
+                mid_batch_norm=self.mid_batch_norm,
+                last_batch_norm=self.last_batch_norm,
+                posttrans_layers=self.posttrans_layers,
+                pretrans_layers=self.pretrans_layers,
+                batch_norm_momentum=self.batch_norm_momentum,
+                name=f"pna_{i}")(g, h, e, deterministic=deterministic)
+            dense = flat_to_dense(h, g, self.max_nodes)
+            dense = TransformerEncoderBlock(
+                self.hidden_dim, self.nhead, self.dim_feedforward,
+                dropout=self.dropout, activation=self.activation,
+                name=f"attn_{i}")(dense, dmask, deterministic=deterministic)
+            h_dense = dense_to_flat(dense, g)
+            h = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
+                    layers=1, mid_activation=self.activation,
+                    name=f"combine_{i}")(
+                jnp.concatenate([h_sparse, h_dense], axis=-1),
+                mask=g.node_mask, deterministic=deterministic)
+        readout = graph_readout(h, g.node_graph, g.num_graphs,
+                                self.readout_aggregators)
+        rh = self.readout_hidden_dim or self.hidden_dim
+        out = MLP(out_dim=self.target_dim, hidden_size=rh,
+                  layers=self.readout_layers,
+                  mid_batch_norm=self.readout_batchnorm,
+                  batch_norm_momentum=self.batch_norm_momentum,
+                  name="output")(readout, mask=g.graph_mask,
+                                 deterministic=deterministic)
+        if return_nodes:
+            return out, h
+        return out
+
+
+@register_model("DistancePredictor")
+class DistancePredictor(nn.Module):
+    """2D GNN -> pairwise distance prediction
+    (reference models/distance_predictor.py:14-86).
+
+    forward(g2d, pair_graph): `pair_graph` supplies the complete-graph pair
+    indices (its senders/receivers) over the same node layout as `g2d`;
+    returns per-pair distances [E_pairs, target_dim].
+    """
+    pna_args: Dict[str, Any]
+    target_dim: int = 1
+    projection_dim: int = 3
+    distance_net: bool = False
+    projection_layers: int = 1
+    transformer_layer: bool = True
+    nhead: int = 16
+    dim_feedforward: int = 256
+    activation: str = "relu"
+    max_nodes: int = 40
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, pair_graph: GraphBatch,
+                 deterministic=True):
+        h = PNAGNN(**self.pna_args, name="node_gnn")(g, deterministic=deterministic)
+        if self.transformer_layer:
+            dense = flat_to_dense(h, g, self.max_nodes)
+            dmask = dense_node_mask(g, self.max_nodes)
+            dense = TransformerEncoderBlock(
+                h.shape[-1], self.nhead, self.dim_feedforward,
+                dropout=self.pna_args.get("dropout", 0.0),
+                activation=self.activation,
+                name="transformer_layer")(dense, dmask,
+                                          deterministic=deterministic)
+            h = dense_to_flat(dense, g)
+        if self.projection_dim > 0 and not self.distance_net:
+            h = MLP(out_dim=self.projection_dim, hidden_size=32,
+                    mid_batch_norm=True, layers=self.projection_layers,
+                    name="node_projection_net")(h, mask=g.node_mask,
+                                                deterministic=deterministic)
+        N = h.shape[0]
+        src = jnp.take(h, pair_graph.senders.clip(0, N - 1), axis=0)
+        dst = jnp.take(h, pair_graph.receivers.clip(0, N - 1), axis=0)
+        if self.distance_net:
+            dn = MLP(out_dim=self.target_dim, hidden_size=self.projection_dim,
+                     mid_batch_norm=True, layers=self.projection_layers,
+                     name="distance_net")
+            fwd = dn(jnp.concatenate([src, dst], axis=1),
+                     mask=pair_graph.edge_mask, deterministic=deterministic)
+            bwd = dn(jnp.concatenate([dst, src], axis=1),
+                     mask=pair_graph.edge_mask, deterministic=deterministic)
+            return jax.nn.softplus(fwd + bwd)
+        return jnp.linalg.norm(src - dst, axis=-1)[:, None]

@@ -24,7 +24,6 @@ from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 GROUP_ORDER = ("batch_norm", "new", "transferred", "frozen")
 
@@ -68,12 +67,20 @@ def label_params(
 
 
 class GroupedOptState(NamedTuple):
-    inner: Any
+    m: jnp.ndarray        # [P] first moment (adam) or momentum buffer (sgd)
+    v: jnp.ndarray        # [P] second moment (adam; zeros for sgd)
     count: jnp.ndarray
 
 
 class GroupedOptimizer:
-    """Optimizer core (adam/adamw/sgd) + per-group LR scaling at update time."""
+    """Optimizer core (adam/adamw/sgd) + per-group LR scaling at update time.
+
+    TPU-critical design: moments and updates live on ONE raveled [P] vector —
+    a handful of large fused elementwise kernels instead of hundreds of tiny
+    per-leaf kernels (which cost ~30 ms/step on a padded-graph model with
+    ~150 parameter leaves).  Per-element learning rates / weight-decay masks
+    come from a flat group-label array computed once at init.
+    """
 
     def __init__(self, labels, name: str = "Adam",
                  lr: float = 1e-3, weight_decay: float = 0.0,
@@ -81,45 +88,74 @@ class GroupedOptimizer:
                  momentum: float = 0.0, transferred_lr: Optional[float] = None,
                  **_ignored):
         self.labels = labels
-        self.name = name
-        self.weight_decay = weight_decay
-        b1, b2 = betas
-        if name.lower() in ("adam", "adamw"):
-            self.core = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
-        elif name.lower() == "sgd":
-            self.core = (optax.trace(decay=momentum) if momentum
-                         else optax.identity())
-        else:
+        self.name = name.lower()
+        if self.name not in ("adam", "adamw", "sgd"):
             raise KeyError(f"unknown optimizer '{name}'")
-        self.decoupled = name.lower() == "adamw"
+        self.weight_decay = weight_decay
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.momentum = momentum
+        self.decoupled = self.name == "adamw"
         # per-group start LRs in GROUP_ORDER positions (frozen = 0)
         self.start_lrs = [lr, lr, transferred_lr if transferred_lr is not None else lr,
                           0.0]
+        # flat [P] label array is built at init() when leaf sizes are known
+        self._label_leaves = jax.tree_util.tree_leaves(self.labels)
+        self._flat_labels = None
 
     def group_start_lrs(self, active_groups: Sequence[str]) -> List[float]:
         return [self.start_lrs[GROUP_ORDER.index(g)] for g in active_groups]
 
+    def _ravel(self, tree):
+        from jax.flatten_util import ravel_pytree
+        return ravel_pytree(tree)
+
     def init(self, params) -> GroupedOptState:
-        return GroupedOptState(inner=self.core.init(params),
+        import numpy as np
+        flat, unravel = self._ravel(params)
+        self._unravel = unravel
+        # build flat label array matching ravel order
+        sizes = [int(np.prod(l.shape)) if hasattr(l, "shape") else 1
+                 for l in jax.tree_util.tree_leaves(params)]
+        lbls = np.concatenate([
+            np.full(s, int(lbl), np.int32)
+            for s, lbl in zip(sizes, self._label_leaves)])
+        assert lbls.shape[0] == flat.shape[0]
+        self._flat_labels = jnp.asarray(lbls)
+        self._wd_mask = jnp.asarray((lbls != 0).astype(np.float32))
+        return GroupedOptState(m=jnp.zeros_like(flat), v=jnp.zeros_like(flat),
                                count=jnp.zeros([], jnp.int32))
 
     def update(self, grads, state: GroupedOptState, params,
                group_lrs: jnp.ndarray) -> Tuple[Any, GroupedOptState]:
         """group_lrs: [4] vector indexed by GROUP_ORDER position."""
+        g, _ = self._ravel(grads)
+        lr_el = group_lrs[self._flat_labels]                  # [P]
         wd = self.weight_decay
         if wd and not self.decoupled:
-            # torch coupled weight decay: grad += wd * param (not for bn group)
-            grads = jax.tree_util.tree_map(
-                lambda g, p, lbl: g + wd * p if lbl != 0 else g,
-                grads, params, self.labels)
-        updates, inner = self.core.update(grads, state.inner, params)
-        if wd and self.decoupled:
-            updates = jax.tree_util.tree_map(
-                lambda u, p, lbl: u + wd * p if lbl != 0 else u,
-                updates, params, self.labels)
-        updates = jax.tree_util.tree_map(
-            lambda u, lbl: -group_lrs[lbl] * u, updates, self.labels)
-        return updates, GroupedOptState(inner=inner, count=state.count + 1)
+            p, _ = self._ravel(params)
+            g = g + wd * p * self._wd_mask   # torch coupled weight decay
+        count = state.count + 1
+        if self.name in ("adam", "adamw"):
+            m = self.b1 * state.m + (1 - self.b1) * g
+            v = self.b2 * state.v + (1 - self.b2) * g * g
+            cf = count.astype(jnp.float32)
+            mhat = m / (1 - self.b1 ** cf)
+            vhat = v / (1 - self.b2 ** cf)
+            upd = mhat / (jnp.sqrt(vhat) + self.eps)
+            if wd and self.decoupled:
+                p, _ = self._ravel(params)
+                upd = upd + wd * p * self._wd_mask
+            flat_update = -lr_el * upd
+            new_state = GroupedOptState(m=m, v=v, count=count)
+        else:  # sgd
+            if self.momentum:
+                m = self.momentum * state.m + g
+            else:
+                m = g
+            flat_update = -lr_el * m
+            new_state = GroupedOptState(m=m, v=state.v, count=count)
+        return self._unravel(flat_update), new_state
 
 
 def build_optimizer(params, args_like: Dict) -> Tuple[GroupedOptimizer, List[str]]:

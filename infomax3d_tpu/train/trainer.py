@@ -816,6 +816,39 @@ class PhilosophyTrainer(SelfSupervisedTrainer):
                 self.logger.log(m, "train", self.optim_steps, epoch)
 
 
+class DistancePredictorTrainer(Trainer):
+    """Pre-training baseline: predict all pairwise 3D distances from the 2D
+    graph (reference DistancePredictor path; batch = graph + pair view with
+    true distances)."""
+
+    def _init_model(self, key, rng, batch):
+        return self.models[key].init(rng, batch["graph"], batch["pairs"],
+                                     deterministic=True)
+
+    def loss_fn(self, params, batch_stats, batch, step, rng, train):
+        g, pairs = batch["graph"], batch["pairs"]
+        variables = {"params": params["model"],
+                     "batch_stats": batch_stats["model"]}
+        if train:
+            pred, mut = self.models["model"].apply(
+                variables, g, pairs, deterministic=False,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            new_stats = mut.get("batch_stats", batch_stats["model"])
+        else:
+            pred = self.models["model"].apply(variables, g, pairs,
+                                              deterministic=True)
+            new_stats = batch_stats["model"]
+        target = pairs.edge_dist[:, None]
+        valid = pairs.edge_mask[:, None]
+        loss = _elementwise_supervised_loss(self.loss_name, pred, target, valid)
+        return loss, AuxOut(pred, target, {}), {"model": new_stats}
+
+    def _host_filter(self, batch, aux: AuxOut):
+        mask = np.asarray(batch["pairs"].edge_mask)
+        return (np.asarray(aux.predictions)[mask],
+                np.asarray(aux.targets)[mask])
+
+
 TRAINER_REGISTRY = {
     "default": Trainer,
     "contrastive": SelfSupervisedTrainer,
@@ -825,4 +858,5 @@ TRAINER_REGISTRY = {
     "philosophy": PhilosophyTrainer,
     "graphcl_trainer": GraphCLTrainer,
     "noisy_negatives": NoisyNegativesTrainer,
+    "distance_predictor": DistancePredictorTrainer,
 }
