@@ -1,0 +1,115 @@
+"""Config system: reference argparse defaults + YAML overlay, byte-compatible
+with the reference's keys (`train.py:77-161`) so configs_clean/*.yml drive
+this framework unmodified.
+
+Quirks preserved:
+- list-valued YAML entries APPEND to the default list rather than replacing
+  (reference train.py:620-625),
+- a checkpoint's saved `train_arguments.yaml` re-hydrates args, with the
+  explicit config winning (train.py:629-639).
+"""
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+DEFAULTS: Dict[str, Any] = dict(
+    config=None,
+    experiment_name="",
+    logdir="runs",
+    num_epochs=2500,
+    batch_size=1024,
+    patience=20,
+    minimum_epochs=0,
+    dataset="qm9",
+    num_train=-1,
+    seed=123,
+    num_val=None,
+    multithreaded_seeds=[],
+    seed_data=123,
+    loss_func="MSELoss",
+    loss_params={},
+    critic_loss="MSELoss",
+    critic_loss_params={},
+    optimizer="Adam",
+    optimizer_params=None,
+    lr_scheduler=None,
+    lr_scheduler_params=None,
+    scheduler_step_per_batch=True,
+    log_iterations=-1,
+    expensive_log_iterations=100,
+    eval_per_epochs=0,
+    linear_probing_samples=500,
+    num_conformers=3,
+    metrics=[],
+    main_metric="mae_denormalized",
+    main_metric_goal="min",
+    val_per_batch=True,
+    tensorboard_functions=[],
+    checkpoint=None,
+    pretrain_checkpoint=None,
+    transfer_layers=[],
+    frozen_layers=[],
+    exclude_from_transfer=[],
+    transferred_lr=None,
+    num_epochs_local_only=1,
+    required_data=[],
+    collate_function="graph_collate",
+    collate_params={},
+    use_e_features=True,
+    targets=[],
+    device="tpu",
+    dist_embedding=False,
+    num_radial=6,
+    models_to_save=[],
+    model_type="PNA",
+    model_parameters=None,
+    model3d_type=None,
+    model3d_parameters=None,
+    critic_type=None,
+    critic_parameters=None,
+    trainer="contrastive",
+    train_sampler=None,
+    eval_on_test=True,
+    force_random_split=False,
+    reuse_pre_train_data=False,
+    transfer_3d=False,
+    # TPU-framework additions (absent keys in reference configs are fine)
+    n_shards=1,
+    dataset_params={},
+    max_nodes=40,
+    use_tensorboard=True,
+)
+
+
+def merge_config(base: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[str, Any]:
+    out = copy.deepcopy(base)
+    for key, value in (overlay or {}).items():
+        if isinstance(value, list) and isinstance(out.get(key), list):
+            out[key] = list(out[key]) + list(value)   # reference append quirk
+        else:
+            out[key] = value
+    return out
+
+
+def load_config(config_path: Optional[str] = None,
+                overrides: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    args = copy.deepcopy(DEFAULTS)
+    config_dict: Dict[str, Any] = {}
+    if config_path:
+        with open(config_path) as f:
+            config_dict = yaml.safe_load(f) or {}
+    # checkpoint re-hydration: saved args first, explicit config wins
+    ckpt = (overrides or {}).get("checkpoint") or config_dict.get("checkpoint")
+    if ckpt:
+        saved = os.path.join(os.path.dirname(ckpt), "train_arguments.yaml")
+        if os.path.exists(saved):
+            with open(saved) as f:
+                args = merge_config(args, yaml.safe_load(f) or {})
+    args = merge_config(args, config_dict)
+    args = merge_config(args, overrides or {})
+    args["config"] = config_path
+    return args

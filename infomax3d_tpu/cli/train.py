@@ -1,0 +1,373 @@
+"""Training entry point — the reference `train.py` CLI re-designed for TPU.
+
+Usage:  python -m infomax3d_tpu.cli.train --config=configs_clean/pre-train_QM9.yml
+
+Reference parity: YAML schema, dataset dispatch, split protocol
+(`get_random_indices` with numpy seed 123, first 100k model pool, 10% test),
+metric dictionary names, trainer selection, pre-trained-weight transfer with
+substring filtering, multi-seed runs, test evaluation.  The `device` flag is
+ignored (we run on whatever JAX platform is active); `dataset: synthetic`
+runs everything without chemistry data.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from infomax3d_tpu.cli.config import load_config
+from infomax3d_tpu.utils.setup import enable_persistent_compilation_cache, seed_all
+
+
+def get_random_indices(length: int, seed: int = 123) -> np.ndarray:
+    """Split-index parity with reference commons/utils.py:31-36."""
+    st0 = np.random.get_state()
+    np.random.seed(seed)
+    idx = np.random.permutation(length)
+    np.random.set_state(st0)
+    return idx
+
+
+def build_metrics(args: Dict[str, Any], dataset=None) -> Dict[str, Any]:
+    """Reference metrics_dict (train.py:237-269) + dataset-specific additions."""
+    from infomax3d_tpu.train import metrics as M
+    table = {
+        "rsquared": M.Rsquared(),
+        "mae": M.MAE(),
+        "pearsonr": M.PearsonR(),
+        "pcqm4m": M.PCQM4MEvaluatorWrapper(),
+        "conformer_3d_variance": M.Conformer3DVariance(),
+        "conformer_2d_variance": M.Conformer2DVariance(),
+        "positive_similarity": M.PositiveSimilarity(),
+        "positive_similarity_multiple_positives_separate2d":
+            M.PositiveSimilarityMultiplePositivesSeparate2d(),
+        "positive_prob": M.PositiveProb(),
+        "negative_prob": M.NegativeProb(),
+        "negative_similarity": M.NegativeSimilarity(),
+        "negative_similarity_multiple_positives_separate2d":
+            M.NegativeSimilarityMultiplePositivesSeparate2d(),
+        "contrastive_accuracy": M.ContrastiveAccuracy(threshold=0.5009),
+        "true_negative_rate": M.TrueNegativeRate(threshold=0.5009),
+        "true_positive_rate": M.TruePositiveRate(threshold=0.5009),
+        "uniformity": M.Uniformity(t=2),
+        "alignment": M.Alignment(alpha=2),
+        "batch_variance": M.BatchVariance(),
+        "dimension_covariance": M.DimensionCovariance(),
+    }
+    ogb_metrics = {
+        "ogbg-molhiv": ("rocauc", 1), "ogbg-molpcba": ("ap", 128),
+        "ogbg-molbace": ("rocauc", 1), "ogbg-molbbbp": ("rocauc", 1),
+        "ogbg-molclintox": ("rocauc", 2), "ogbg-moltoxcast": ("rocauc", 617),
+        "ogbg-moltox21": ("rocauc", 12), "ogbg-mollipo": ("rmse", 1),
+        "ogbg-molmuv": ("ap", 17), "ogbg-molsider": ("rocauc", 27),
+        "ogbg-molfreesolv": ("rmse", 1), "ogbg-molesol": ("rmse", 1),
+    }
+    for name, (metric, tasks) in ogb_metrics.items():
+        table[name] = M.OGBEvaluator(d_name=name, metric=metric, num_tasks=tasks)
+    wanted = {}
+    for name in args["metrics"]:
+        if name in table:
+            wanted[name] = table[name]
+        elif name == "mae_denormalized" and dataset is not None and \
+                getattr(dataset, "targets_mean", None) is not None:
+            wanted[name] = M.QM9DenormalizedL1(
+                means=dataset.targets_mean, stds=dataset.targets_std,
+                ev2mev=getattr(dataset, "ev2mev", None))
+        elif name == "mse_denormalized" and dataset is not None and \
+                getattr(dataset, "targets_mean", None) is not None:
+            wanted[name] = M.QM9DenormalizedL2(
+                means=dataset.targets_mean, stds=dataset.targets_std,
+                ev2mev=getattr(dataset, "ev2mev", None))
+    if args["main_metric"] == "mae_denormalized" and \
+            "mae_denormalized" not in wanted and dataset is not None and \
+            getattr(dataset, "targets_mean", None) is not None:
+        from infomax3d_tpu.train.metrics import QM9DenormalizedL1
+        wanted["mae_denormalized"] = QM9DenormalizedL1(
+            means=dataset.targets_mean, stds=dataset.targets_std,
+            ev2mev=getattr(dataset, "ev2mev", None))
+    return wanted
+
+
+def build_dataset(args: Dict[str, Any]):
+    from infomax3d_tpu.data.cached import (
+        CachedMoleculeDataset, QM9Dataset, SyntheticDataset,
+    )
+    name = args["dataset"]
+    params = dict(args.get("dataset_params") or {})
+    data_dir = os.environ.get("INFOMAX3D_DATA", "dataset")
+    needs_conformers = any("conform" in str(r) for r in args["required_data"]) \
+        or "conformer" in args["collate_function"]
+    n_conf = args["num_conformers"] if needs_conformers else 1
+    if name == "synthetic":
+        params.setdefault("num", 2000)
+        params.setdefault("num_targets", max(len(args["targets"]), 1))
+        params.setdefault("num_conformers", n_conf)
+        return SyntheticDataset(**params)
+    if name.startswith("qm9"):
+        return QM9Dataset(os.path.join(data_dir, "QM9", "processed.npz"),
+                          target_tasks=args["targets"] or ["homo"],
+                          num_conformers=n_conf)
+    cache_names = {"qmugs": "QMugs", "drugs": "GEOM_Drugs",
+                   "geom_qm9": "GEOM_QM9", "zinc": "ZINC"}
+    if name in cache_names:
+        return CachedMoleculeDataset(
+            os.path.join(data_dir, cache_names[name], "processed.npz"),
+            num_conformers=n_conf, **params)
+    if name.startswith("ogbg") or name == "pcqm4m":
+        return CachedMoleculeDataset(
+            os.path.join(data_dir, name.replace("-", "_"), "processed.npz"),
+            **params)
+    raise KeyError(f"unknown dataset '{name}'")
+
+
+def build_models(args: Dict[str, Any]) -> Dict[str, Any]:
+    from infomax3d_tpu.models import get_model_class
+    models: Dict[str, Any] = {}
+    mp = dict(args.get("model_parameters") or {})
+    mp.pop("node_dim", None); mp.pop("edge_dim", None)
+    mp.pop("hidden_edge_dim", None)
+    if args["trainer"] == "byol":
+        from infomax3d_tpu.models import BYOLWrapper
+        models["model"] = BYOLWrapper(model_type=args["model_type"],
+                                      model_parameters=mp)
+    else:
+        models["model"] = get_model_class(args["model_type"])(**mp)
+    if args.get("model3d_type"):
+        mp3 = dict(args.get("model3d_parameters") or {})
+        mp3.pop("node_dim", None); mp3.pop("edge_dim", None)
+        mp3.pop("hidden_edge_dim", None)
+        if args["trainer"] == "byol":
+            from infomax3d_tpu.models import BYOLWrapper
+            models["model3d"] = BYOLWrapper(model_type=args["model3d_type"],
+                                            model_parameters=mp3)
+        else:
+            models["model3d"] = get_model_class(args["model3d_type"])(**mp3)
+    if args.get("critic_type"):
+        cp = dict(args.get("critic_parameters") or {})
+        models["critic"] = get_model_class(args["critic_type"])(**cp)
+    return models
+
+
+def transfer_pretrained(state, args: Dict[str, Any]):
+    """Pre-trained weight transfer (reference load_model, train.py:207-231):
+    copy parameters whose tree path contains any `transfer_layers` substring
+    and none of `exclude_from_transfer`; BYOL 'student' prefixes stripped;
+    `transfer_3d` loads the 3D network's weights instead."""
+    from flax import serialization
+    from flax.traverse_util import flatten_dict, unflatten_dict
+    import jax.numpy as jnp
+
+    with open(args["pretrain_checkpoint"], "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    src_key = "model3d" if args.get("transfer_3d") else "model"
+    src = raw.get("params", {}).get(src_key, {})
+    if "student" in src:                       # BYOL wrapper checkpoint
+        src = src["student"]
+    flat_src = flatten_dict(src)
+    # reference renames 'gnn.'/'gnn2.' -> 'node_gnn.'; our modules already use
+    # node_gnn, so rename only legacy keys if present
+    renamed = {}
+    for path, v in flat_src.items():
+        path = tuple("node_gnn" if p in ("gnn", "gnn2") else p for p in path)
+        renamed[path] = v
+    transfer = args["transfer_layers"] or []
+    exclude = list(args["exclude_from_transfer"] or []) + ["teacher"]
+    params = state.params
+    flat_dst = flatten_dict(params["model"])
+    n_hit = 0
+    for path, v in flat_dst.items():
+        s = "/".join(path)
+        if any(t in s for t in transfer) and not any(x in s for x in exclude):
+            if path in renamed and renamed[path].shape == v.shape:
+                flat_dst[path] = jnp.asarray(renamed[path])
+                n_hit += 1
+    print(f"transferred {n_hit} parameter tensors from "
+          f"{args['pretrain_checkpoint']}")
+    params = dict(params)
+    params["model"] = unflatten_dict(flat_dst)
+    # transfer batch stats for the same subtrees
+    src_stats = raw.get("batch_stats", {}).get(src_key, {})
+    if "student" in src_stats:
+        src_stats = src_stats["student"]
+    flat_sstats = {tuple("node_gnn" if p in ("gnn", "gnn2") else p for p in k): v
+                   for k, v in flatten_dict(src_stats).items()}
+    bstats = dict(state.batch_stats)
+    flat_bdst = flatten_dict(bstats["model"])
+    for path, v in flat_bdst.items():
+        s = "/".join(path)
+        if any(t in s for t in transfer) and not any(x in s for x in exclude):
+            if path in flat_sstats and flat_sstats[path].shape == v.shape:
+                flat_bdst[path] = jnp.asarray(flat_sstats[path])
+    bstats["model"] = unflatten_dict(flat_bdst)
+    return state.replace(params=params, batch_stats=bstats)
+
+
+def make_loaders(args: Dict[str, Any], dataset, mesh=None):
+    from infomax3d_tpu.data.loader import GraphDataLoader
+    from infomax3d_tpu.graphs.batch import BucketSpec
+
+    n = len(dataset)
+    all_idx = get_random_indices(n, args["seed_data"])
+    model_idx = all_idx[:100000] if n >= 100000 else all_idx[:int(n * 0.8)]
+    test_idx = all_idx[len(model_idx): len(model_idx) + int(n * 0.1)]
+    val_idx = all_idx[len(model_idx) + len(test_idx):]
+    train_idx = model_idx[: args["num_train"]] if args["num_train"] > 0 else model_idx
+    if args["num_val"]:
+        val_idx = val_idx[: args["num_val"]]
+
+    bs = args["batch_size"]
+    nodes = dataset.node_counts()
+    mean_nodes = float(nodes.mean())
+    max_n = int(nodes.max())
+    n_cap = int(np.ceil(bs * mean_nodes * 1.25 / 256) * 256) + max_n
+    e2_cap = int(np.ceil(bs * float(dataset.edge_counts().mean()) * 1.3 / 512) * 512)
+    e3_cap = int(np.ceil(bs * float((nodes * (nodes - 1)).mean()) * 1.35 / 2048) * 2048)
+    bucket = BucketSpec(bs, n_cap, e2_cap)
+    bucket3d = BucketSpec(bs, n_cap, e3_cap)
+
+    collate = args["collate_function"]
+    ckw = dict(args.get("collate_params") or {})
+    contrastive = collate in ("contrastive_collate", "conformer_collate",
+                              "contrastive_collate_ae")
+    if collate == "conformer_collate":
+        C = args["num_conformers"]
+        ckw.setdefault("bucket3d", BucketSpec(bs * C, n_cap * C, e3_cap * C))
+    elif contrastive or collate == "pairwise_distance_collate":
+        ckw.setdefault("bucket3d", bucket3d)
+    if collate in ("san_collate", "padded_collate_positional_encoding"):
+        ckw.setdefault("max_nodes", max(args["max_nodes"], max_n))
+    n_shards = args.get("n_shards", 1)
+
+    def mk(indices, shuffle, seed):
+        return GraphDataLoader(dataset, bs, collate, bucket=bucket,
+                               shuffle=shuffle, drop_last=contrastive,
+                               seed=seed, indices=indices,
+                               collate_kwargs=ckw, n_shards=n_shards)
+
+    return (mk(train_idx, True, args["seed"]),
+            mk(val_idx, False, args["seed"] + 1),
+            mk(test_idx, False, args["seed"] + 2))
+
+
+def run_training(args: Dict[str, Any]) -> Dict[str, float]:
+    import jax
+    enable_persistent_compilation_cache()
+    seed_all(args["seed"])
+    from infomax3d_tpu.losses import get_loss
+    from infomax3d_tpu.train.trainer import TRAINER_REGISTRY
+
+    dataset = build_dataset(args)
+    metrics = build_metrics(args, dataset)
+    models = build_models(args)
+
+    mesh = None
+    if args.get("n_shards", 1) > 1:
+        from infomax3d_tpu.parallel import make_mesh
+        mesh = make_mesh(args["n_shards"])
+
+    loss_name = args["loss_func"]
+    supervised_losses = ("L1Loss", "MSELoss", "BCEWithLogitsLoss",
+                         "OGBNanLabelBCEWithLogitsLoss", "OGBNanLabelMSELoss")
+    loss_func = None if loss_name in supervised_losses else \
+        get_loss(loss_name, **(args.get("loss_params") or {}))
+
+    # reference get_trainer (train.py:166-204): the SSL trainer flavor only
+    # applies when a 3D model exists; otherwise the base supervised Trainer
+    # (or graphcl / distance_predictor)
+    if args.get("model3d_type"):
+        trainer_cls = TRAINER_REGISTRY[args["trainer"]]
+    elif args["trainer"] in ("graphcl_trainer", "distance_predictor"):
+        trainer_cls = TRAINER_REGISTRY[args["trainer"]]
+    else:
+        trainer_cls = TRAINER_REGISTRY["default"]
+    run_dir = os.path.join(
+        args["logdir"],
+        f"{args['model_type']}_{args['dataset']}_{args['experiment_name']}_"
+        f"{args['seed']}_{datetime.now().strftime('%d-%m_%H-%M-%S')}")
+    kw: Dict[str, Any] = {}
+    if args["trainer"] == "philosophy":
+        kw["critic_loss"] = get_loss(args["critic_loss"],
+                                     **(args.get("critic_loss_params") or {}))
+    if args["trainer"] == "byol":
+        kw["ma_decay"] = (args.get("model_parameters") or {}).get("ma_decay", 0.99)
+    trainer = trainer_cls(
+        models, args, metrics=metrics, main_metric=args["main_metric"],
+        run_dir=run_dir, loss_func=loss_func, loss_name=loss_name,
+        main_metric_goal=args["main_metric_goal"],
+        scheduler_step_per_batch=args["scheduler_step_per_batch"],
+        seed=args["seed"], mesh=mesh,
+        use_tensorboard=args.get("use_tensorboard", True))
+
+    train_loader, val_loader, test_loader = make_loaders(args, dataset, mesh)
+    if args.get("pretrain_checkpoint"):
+        first = next(iter(train_loader))
+        trainer.init_state(first)
+        trainer.state = transfer_pretrained(trainer.state, args)
+
+    val_metrics = trainer.train(train_loader, val_loader)
+    result = dict(val_metrics)
+    if args["eval_on_test"] and len(test_loader.indices) > 0:
+        test_metrics = trainer.evaluation(test_loader, "test")
+        result.update({f"test_{k}": v for k, v in test_metrics.items()})
+    return result
+
+
+def train(args: Dict[str, Any]):
+    """Reference __main__ behavior incl. multi-seed thread pool
+    (train.py:647-698)."""
+    seeds = args.get("multithreaded_seeds") or []
+    if seeds:
+        results = []
+        with ThreadPoolExecutor(max_workers=len(seeds)) as ex:
+            futures = []
+            for s in seeds:
+                a = dict(args)
+                a["seed"] = s
+                a["multithreaded_seeds"] = []
+                futures.append(ex.submit(run_training, a))
+            results = [f.result() for f in futures]
+        agg = {}
+        keys = set().union(*[r.keys() for r in results])
+        for k in keys:
+            vals = np.array([r[k] for r in results if k in r], dtype=np.float64)
+            agg[f"{k}_mean"] = float(np.nanmean(vals))
+            agg[f"{k}_std"] = float(np.nanstd(vals))
+            agg[f"{k}_stderr"] = float(np.nanstd(vals) / np.sqrt(len(vals)))
+        out_path = os.path.join(args["logdir"],
+                                "multiple_seed_validation_statistics.txt")
+        os.makedirs(args["logdir"], exist_ok=True)
+        with open(out_path, "w") as f:
+            for k in sorted(agg):
+                f.write(f"{k}: {agg[k]}\n")
+        print(agg)
+        return agg
+    return run_training(args)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+    known, unknown = p.parse_known_args(argv)
+    overrides: Dict[str, Any] = {}
+    if known.checkpoint:
+        overrides["checkpoint"] = known.checkpoint
+    for tok in unknown:
+        if tok.startswith("--") and "=" in tok:
+            k, v = tok[2:].split("=", 1)
+            try:
+                import ast
+                overrides[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                overrides[k] = v
+    args = load_config(known.config, overrides)
+    return train(args)
+
+
+if __name__ == "__main__":
+    main()

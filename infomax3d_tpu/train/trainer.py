@@ -363,6 +363,11 @@ class Trainer:
         averaged metrics when `val_per_batch` (contrastive probes), else
         whole-epoch metrics on concatenated predictions (OGB evaluators)."""
         val_per_batch = self.args.get("val_per_batch", True)
+        if len(loader) == 0:
+            raise ValueError(
+                "evaluation loader yields no batches — the split is smaller "
+                "than the batch size (contrastive loaders drop partial "
+                "batches; shrink batch_size or grow the split)")
         totals: Dict[str, float] = {}
         n_batches = 0
         all_preds, all_targets = [], []
