@@ -106,6 +106,113 @@ def _complete_edge_cap(items) -> int:
     return int(sum(len(it["graph3d"]["senders"]) for it in items) * 1.0 + 64)
 
 
+@register_collate("noised_distances_collate")
+def noised_distances_collate(items: Sequence[Dict], bucket: BucketSpec,
+                             bucket3d: Optional[BucketSpec] = None,
+                             std: float = 0.1, num_noised: int = 1,
+                             rng: Optional[np.random.Generator] = None):
+    """Contrastive batch + `num_noised` copies of the 3D view with Gaussian
+    noise on the edge distances, appended as extra negatives
+    (NoisedDistancesCollate, custom_collate.py:131-152)."""
+    rng = rng or np.random.default_rng(0)
+    out = contrastive_collate(items, bucket, bucket3d)
+    base = [it["graph3d"] for it in items]
+    b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
+                                _complete_edge_cap(items))
+    noised = []
+    for k in range(num_noised):
+        copies = []
+        for g in base:
+            c = dict(g)
+            c["edge_dist"] = (g["edge_dist"] + rng.normal(
+                scale=std, size=g["edge_dist"].shape)).astype(np.float32)
+            copies.append(c)
+        noised.append(to_graph_batch(batch_graphs(copies, b3)))
+    out["noisy3d"] = noised[0] if num_noised == 1 else noised
+    return out
+
+
+@register_collate("noised_coordinates_collate")
+def noised_coordinates_collate(items: Sequence[Dict], bucket: BucketSpec,
+                               bucket3d: Optional[BucketSpec] = None,
+                               std: float = 0.1, num_noised: int = 1,
+                               rng: Optional[np.random.Generator] = None):
+    """Noise the COORDINATES and recompute distances
+    (NoisedCoordinatesCollate, custom_collate.py:160-185)."""
+    rng = rng or np.random.default_rng(0)
+    out = contrastive_collate(items, bucket, bucket3d)
+    b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
+                                _complete_edge_cap(items))
+    noised = []
+    for k in range(num_noised):
+        copies = []
+        for it in items:
+            g = it["graph3d"]
+            coords = g["coords"] + rng.normal(
+                scale=std, size=g["coords"].shape).astype(np.float32)
+            d = np.linalg.norm(coords[g["senders"]] - coords[g["receivers"]],
+                               axis=-1).astype(np.float32)
+            copies.append(dict(g, coords=coords, edge_dist=d))
+        noised.append(to_graph_batch(batch_graphs(copies, b3)))
+    out["noisy3d"] = noised[0] if num_noised == 1 else noised
+    return out
+
+
+def _node_drop_3d(g3: Dict, keep: np.ndarray) -> Dict:
+    """Rebuild a complete graph on the kept nodes."""
+    coords = g3["coords"][keep]
+    n = coords.shape[0]
+    idx = np.arange(n)
+    src = np.repeat(idx, n)
+    dst = np.tile(idx, n)
+    sel = src != dst
+    src, dst = src[sel].astype(np.int32), dst[sel].astype(np.int32)
+    d = np.linalg.norm(coords[src] - coords[dst], axis=-1).astype(np.float32)
+    return dict(node_feat=g3["node_feat"][keep], senders=src, receivers=dst,
+                edge_dist=d, coords=coords)
+
+
+@register_collate("node_drop_3d_collate")
+def node_drop_3d_collate(items, bucket, bucket3d=None, num_drop: int = 3,
+                         rng: Optional[np.random.Generator] = None):
+    """Randomly remove up to num_drop atoms from the 3D view only
+    (NodeDrop3dCollate, custom_collate.py:188-206)."""
+    rng = rng or np.random.default_rng(0)
+    g2 = batch_graphs([it["graph2d"] for it in items], bucket)
+    b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
+                                _complete_edge_cap(items))
+    dropped = []
+    for it in items:
+        g3 = it["graph3d"]
+        n = g3["node_feat"].shape[0]
+        k = int(rng.integers(0, num_drop))
+        keep = np.setdiff1d(np.arange(n),
+                            rng.integers(0, n, size=k)) if k else np.arange(n)
+        dropped.append(_node_drop_3d(g3, keep))
+    g3b = batch_graphs(dropped, b3)
+    return {"graph2d": to_graph_batch(g2), "graph3d": to_graph_batch(g3b)}
+
+
+@register_collate("node_drop_2d3d_collate")
+def node_drop_2d3d_collate(items, bucket, bucket3d=None,
+                           drop_ratio: float = 0.1,
+                           rng: Optional[np.random.Generator] = None):
+    """Independently drop a fraction of atoms from BOTH views
+    (NodeDrop2d3DCollate, custom_collate.py:208-229)."""
+    rng = rng or np.random.default_rng(0)
+    g2s, g3s = [], []
+    for it in items:
+        g2s.append(node_drop(it["graph2d"], rng, drop_ratio))
+        g3 = it["graph3d"]
+        n = g3["node_feat"].shape[0]
+        keep = np.sort(rng.permutation(n)[: n - int(drop_ratio * n)])
+        g3s.append(_node_drop_3d(g3, keep))
+    b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
+                                _complete_edge_cap(items))
+    return {"graph2d": to_graph_batch(batch_graphs(g2s, bucket)),
+            "graph3d": to_graph_batch(batch_graphs(g3s, b3))}
+
+
 @register_collate("san_collate")
 def san_collate(items: Sequence[Dict], bucket: BucketSpec, max_nodes: int = 40,
                 num_lap_pe: int = 10, rng: Optional[np.random.Generator] = None,

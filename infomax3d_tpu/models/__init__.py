@@ -17,6 +17,10 @@ from infomax3d_tpu.models.san import SAN  # noqa: E402
 from infomax3d_tpu.models.transformer import (  # noqa: E402
     DistancePredictor, PNATransformer, TransformerPlain,
 )
+from infomax3d_tpu.models.pna_original import (  # noqa: E402
+    PNAOriginal, PNAOriginalSimple,
+)
+from infomax3d_tpu.models.pna_random import PNARandom  # noqa: E402
 
 __all__ = [
     "MODEL_REGISTRY", "get_model_class", "register_model",

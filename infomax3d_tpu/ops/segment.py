@@ -169,6 +169,39 @@ def pna_multi_aggregate(
     return h
 
 
+def pna_multi_aggregate_always_scaled(
+    messages: jnp.ndarray,
+    receivers: jnp.ndarray,
+    num_nodes: int,
+    aggregators: Sequence[str],
+    scalers: Sequence[str],
+    avg_d_log: float = 1.0,
+) -> jnp.ndarray:
+    """PNAOriginal variant (models/pna_original.py:232-237): scalers are
+    applied unconditionally (even a single one); moments are rejected — the
+    reference collapses them to scalars (upstream bug)."""
+    if any(a.startswith("moment") for a in aggregators):
+        raise ValueError("moment aggregators are not supported by PNAOriginal "
+                         "(the reference implementation collapses them)")
+    h = pna_multi_aggregate(messages, receivers, num_nodes, aggregators,
+                            ("identity",), avg_d_log)
+    deg = degree(receivers, num_nodes)
+    has = (deg > 0.0)[:, None]
+    log_deg = jnp.log(deg + 1.0)[:, None]
+    scaled = []
+    for s in scalers:
+        if s == "identity":
+            scaled.append(h)
+        elif s == "amplification":
+            scaled.append(h * (log_deg / avg_d_log))
+        elif s == "attenuation":
+            scaled.append(jnp.where(has, h * (avg_d_log /
+                                              jnp.maximum(log_deg, EPS)), 0.0))
+        else:
+            raise ValueError(f"unknown PNA scaler: {s}")
+    return jnp.concatenate(scaled, axis=-1)
+
+
 def graph_readout(
     node_feat: jnp.ndarray,        # [N, D]
     node_graph: jnp.ndarray,       # [N] (padding -> out of range)
