@@ -23,6 +23,7 @@ import queue as queue_mod
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+import jax.numpy as jnp
 
 from infomax3d_tpu.graphs.batch import (
     BucketSpec, batch_graphs, pick_bucket, to_graph_batch,
@@ -259,6 +260,55 @@ def pairwise_distance_collate(items: Sequence[Dict], bucket: BucketSpec,
     pairs = batch_graphs([it["graph3d"] for it in items],
                          BucketSpec(b3.n_graphs, bucket.n_nodes, b3.n_edges))
     return {"graph": to_graph_batch(g2), "pairs": to_graph_batch(pairs)}
+
+
+@register_collate("smp_collate")
+def smp_collate(items: Sequence[Dict], bucket: BucketSpec,
+                cutoff: float = 5.0, n_triplets: Optional[int] = None):
+    """Radius-graph batch + padded triplet arrays for SMP (host-side
+    xyztodat equivalent, data/smp_featurize.py)."""
+    from infomax3d_tpu.data.smp_featurize import smp_featurize
+    graphs, tri = [], []
+    for it in items:
+        mol = it["graph2d"] if "coords" in it["graph2d"] else it["graph3d"]
+        feats = smp_featurize(mol["coords"], cutoff=cutoff)
+        graphs.append(dict(node_feat=mol["node_feat"],
+                           senders=feats["senders"],
+                           receivers=feats["receivers"],
+                           edge_dist=feats["dist"], coords=mol["coords"]))
+        tri.append(feats)
+    arrays = batch_graphs(graphs, bucket)
+    E = bucket.n_edges
+    edge_off = np.concatenate(
+        [[0], np.cumsum([len(t["senders"]) for t in tri])[:-1]])
+    T = n_triplets or int(sum(int(t["tri_count"]) for t in tri) * 1.0 + 64)
+    angle = np.zeros(T, np.float32)
+    torsion = np.zeros(T, np.float32)
+    idx_kj = np.full(T, E, np.int32)
+    idx_ji = np.full(T, E, np.int32)
+    tri_mask = np.zeros(T, bool)
+    o = 0
+    for m, t in enumerate(tri):
+        c = int(t["tri_count"])
+        if o + c > T:
+            raise ValueError(f"triplet bucket {T} too small")
+        angle[o:o + c] = t["angle"]
+        torsion[o:o + c] = t["torsion"]
+        idx_kj[o:o + c] = t["idx_kj"] + edge_off[m]
+        idx_ji[o:o + c] = t["idx_ji"] + edge_off[m]
+        tri_mask[o:o + c] = True
+        o += c
+    gb = to_graph_batch(arrays)
+    extras = dict(gb.extras)
+    extras.update(angle=jnp.asarray(angle), torsion=jnp.asarray(torsion),
+                  idx_kj=jnp.asarray(idx_kj), idx_ji=jnp.asarray(idx_ji),
+                  tri_mask=jnp.asarray(tri_mask))
+    if "targets" in items[0]:
+        tg = np.stack([np.asarray(it["targets"]) for it in items])
+        buf = np.full((bucket.n_graphs,) + tg.shape[1:], np.nan, np.float32)
+        buf[:len(items)] = tg
+        extras["targets"] = jnp.asarray(buf)
+    return {"graph": gb.replace(extras=extras)}
 
 
 @register_collate("graphcl_collate")

@@ -21,6 +21,7 @@ from infomax3d_tpu.models.pna_original import (  # noqa: E402
     PNAOriginal, PNAOriginalSimple,
 )
 from infomax3d_tpu.models.pna_random import PNARandom  # noqa: E402
+from infomax3d_tpu.models.smp import SMP  # noqa: E402
 
 __all__ = [
     "MODEL_REGISTRY", "get_model_class", "register_model",
