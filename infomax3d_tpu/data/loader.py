@@ -262,6 +262,97 @@ def pairwise_distance_collate(items: Sequence[Dict], bucket: BucketSpec,
     return {"graph": to_graph_batch(g2), "pairs": to_graph_batch(pairs)}
 
 
+@register_collate("ot_collate")
+def ot_collate(items: Sequence[Dict], bucket: BucketSpec,
+               n_true_confs: int = 3, n_neighborhoods: Optional[int] = None,
+               n_pairs: Optional[int] = None):
+    """GeoMol OT batch: bond graph + neighborhood / dihedral-pair index
+    arrays + true conformer positions (reference pyg GeoMol featurization +
+    `assign_neighborhoods`)."""
+    from infomax3d_tpu.data.geomol_featurize import geomol_featurize
+    graphs = [it["graph2d"] for it in items]
+    arrays = batch_graphs(graphs, bucket)
+    node_off = np.concatenate(
+        [[0], np.cumsum([g["node_feat"].shape[0] for g in graphs])[:-1]]
+    ).astype(np.int32)
+    feats = [geomol_featurize(g) for g in graphs]
+
+    NH = n_neighborhoods or sum(len(f["nbh_center"]) for f in feats) + 8
+    P = n_pairs or sum(len(f["dp"]) for f in feats) + 8
+    N, G = bucket.n_nodes, bucket.n_graphs
+    z = lambda *s: np.zeros(s, np.int32)
+    nbh_center = np.full(NH, N, np.int32)
+    nbh_nbrs = z(NH, 4); nbh_perms = z(NH, 6, 4)
+    nbh_mask = np.zeros((NH, 4), np.float32)
+    nbh_mol = np.full(NH, G, np.int32)
+    dp_x = np.full(P, N, np.int32); dp_y = np.full(P, N, np.int32)
+    dp_x_h = np.full(P, NH, np.int32); dp_y_h = np.full(P, NH, np.int32)
+    dp_x_nbrs = z(P, 4); dp_y_nbrs = z(P, 4)
+    dp_xn_perms = z(P, 6, 4); dp_yn_perms = z(P, 6, 4)
+    x_map = np.zeros((P, 4), np.float32); y_map = np.zeros((P, 4), np.float32)
+    x_other = z(P, 3); y_other = z(P, 3)
+    dihedral_mask = np.zeros((P, 9), np.float32)
+    dp_mol = np.full(P, G, np.int32)
+
+    oh, op = 0, 0
+    for m, (g, f) in enumerate(zip(graphs, feats)):
+        off = node_off[m]
+        nh = len(f["nbh_center"])
+        if oh + nh > NH or op + len(f["dp"]) > P:
+            raise ValueError("ot_collate buckets too small")
+        nbh_center[oh:oh + nh] = f["nbh_center"] + off
+        nbh_nbrs[oh:oh + nh] = f["nbh_nbrs"] + off
+        nbh_perms[oh:oh + nh] = f["nbh_perms"] + off
+        nbh_mask[oh:oh + nh] = f["nbh_mask"]
+        nbh_mol[oh:oh + nh] = m
+        for i, (s, r) in enumerate(f["dp"]):
+            j = op + i
+            dp_x[j], dp_y[j] = s + off, r + off
+            hs, hr = f["x_to_h"][s], f["x_to_h"][r]
+            dp_x_h[j], dp_y_h[j] = oh + hs, oh + hr
+            dp_x_nbrs[j] = f["nbh_nbrs"][hs] + off
+            dp_y_nbrs[j] = f["nbh_nbrs"][hr] + off
+            dp_xn_perms[j] = f["nbh_perms"][hs] + off
+            dp_yn_perms[j] = f["nbh_perms"][hr] + off
+            x_map[j] = f["x_map"][i]
+            y_map[j] = f["y_map"][i]
+            x_other[j] = np.nonzero(f["x_map"][i] == 0)[0][:3]
+            y_other[j] = np.nonzero(f["y_map"][i] == 0)[0][:3]
+            dx = f["dx_mask"][i][x_other[j]]
+            dy = f["dy_mask"][i][y_other[j]]
+            dihedral_mask[j] = (dx[:, None] * dy[None, :]).reshape(9)
+            dp_mol[j] = m
+        oh += nh
+        op += len(f["dp"])
+
+    # true conformer positions [N, T, 3] + per-molecule mask [G, T]
+    pos = np.zeros((N, n_true_confs, 3), np.float32)
+    pos_mask = np.zeros((G, n_true_confs), np.float32)
+    for m, it in enumerate(graphs):
+        off = node_off[m]
+        nn_ = it["node_feat"].shape[0]
+        confs = items[m].get("conformers3d")
+        if confs is not None:
+            for c, cg in enumerate(confs[:n_true_confs]):
+                pos[off:off + nn_, c] = cg["coords"]
+                pos_mask[m, c] = 1.0
+        elif it.get("coords") is not None:
+            pos[off:off + nn_, 0] = it["coords"]
+            pos_mask[m, 0] = 1.0
+
+    gb = to_graph_batch(arrays)
+    extras = dict(gb.extras)
+    extras.update({k: jnp.asarray(v) for k, v in dict(
+        nbh_center=nbh_center, nbh_nbrs=nbh_nbrs, nbh_perms=nbh_perms,
+        nbh_mask=nbh_mask, nbh_mol=nbh_mol, dp_x=dp_x, dp_y=dp_y,
+        dp_x_h=dp_x_h, dp_y_h=dp_y_h, dp_x_nbrs=dp_x_nbrs,
+        dp_y_nbrs=dp_y_nbrs, dp_xn_perms=dp_xn_perms, dp_yn_perms=dp_yn_perms,
+        x_map=x_map, y_map=y_map, x_other=x_other, y_other=y_other,
+        dihedral_mask=dihedral_mask, dp_mol=dp_mol, pos=pos,
+        pos_mask=pos_mask).items()})
+    return {"graph": gb.replace(extras=extras)}
+
+
 @register_collate("smp_collate")
 def smp_collate(items: Sequence[Dict], bucket: BucketSpec,
                 cutoff: float = 5.0, n_triplets: Optional[int] = None):

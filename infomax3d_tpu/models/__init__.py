@@ -22,6 +22,10 @@ from infomax3d_tpu.models.pna_original import (  # noqa: E402
 )
 from infomax3d_tpu.models.pna_random import PNARandom  # noqa: E402
 from infomax3d_tpu.models.smp import SMP  # noqa: E402
+from infomax3d_tpu.models.geomol_mpnn import (  # noqa: E402
+    GeomolGNN, GeomolGNNWrapper, GeomolGNNWrapperOGBFeat,
+)
+from infomax3d_tpu.models.optimal_transport import OptimalTransportModel  # noqa: E402
 
 __all__ = [
     "MODEL_REGISTRY", "get_model_class", "register_model",

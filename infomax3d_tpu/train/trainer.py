@@ -854,6 +854,158 @@ class DistancePredictorTrainer(Trainer):
                 np.asarray(aux.targets)[mask])
 
 
+def exact_emd(cost: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact optimal-transport plan for small histograms (the reference uses
+    POT's ot.emd; here scipy's HiGHS LP — molecules have <=10x10 plans)."""
+    from scipy.optimize import linprog
+    nt, nm = cost.shape
+    c = cost.reshape(-1)
+    A_eq = np.zeros((nt + nm, nt * nm))
+    for i in range(nt):
+        A_eq[i, i * nm:(i + 1) * nm] = 1.0
+    for j in range(nm):
+        A_eq[nt + j, j::nm] = 1.0
+    b_eq = np.concatenate([a, b])
+    res = linprog(c, A_eq=A_eq[:-1], b_eq=b_eq[:-1], bounds=(0, None),
+                  method="highs")
+    return res.x.reshape(nt, nm)
+
+
+class OptimalTransportTrainer(Trainer):
+    """GeoMol conformer-generation training (reference
+    trainer/optimal_transport_trainer.py:11-67): loss computed inside the
+    model; gradient clip 10; `ignore_neighbors` (local-only losses) for the
+    first `num_epochs_local_only` epochs.
+
+    loss_type='ot_emd' runs two passes: a no-grad jit pass produces the
+    [T, C, G] cost tensor, the exact EMD plans are solved host-side on the
+    detached costs (reference semantics: plans are constants), then the grad
+    pass minimizes sum(plan * cost).
+    """
+
+    GRAD_CLIP = 10.0
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._epoch = 1
+
+    def _init_model(self, key, rng, batch):
+        return self.models[key].init(
+            {"params": rng, "random": jax.random.fold_in(rng, 7)},
+            batch["graph"], deterministic=True)
+
+    @property
+    def _ignore_neighbors(self):
+        return self._epoch < self.args.get("num_epochs_local_only", 1)
+
+    def loss_fn(self, params, batch_stats, batch, step, rng, train):
+        model = self.models["model"]
+        variables = {"params": params["model"],
+                     "batch_stats": batch_stats["model"]}
+        rngs = {"random": rng, "dropout": jax.random.fold_in(rng, 3)}
+        kw = dict(ignore_neighbors=self._ignore_neighbors)
+        if batch.get("_ot_plans") is not None:
+            kw["ot_plans"] = batch["_ot_plans"]
+        if train:
+            loss, mut = model.apply(variables, batch["graph"],
+                                    deterministic=False,
+                                    mutable=["batch_stats"], rngs=rngs, **kw)
+            new_stats = mut.get("batch_stats", batch_stats["model"])
+        else:
+            loss = model.apply(variables, batch["graph"], deterministic=True,
+                               rngs=rngs, **kw)
+            new_stats = batch_stats["model"]
+        z = jnp.zeros((batch["graph"].num_graphs, 1))
+        return loss, AuxOut(z, z, {}), {"model": new_stats}
+
+    def _make_train_step(self):
+        optim = self.optims["main"]
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch, group_lrs, rng):
+            def lf(params):
+                loss, aux, new_stats = self.loss_fn(
+                    params, state.batch_stats, batch, state.step, rng, True)
+                return loss, (aux, new_stats)
+
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                lf, has_aux=True)(state.params)
+            # reference clips the grad norm at 10 (optimal_transport_trainer)
+            gnorm = jnp.sqrt(sum(jnp.sum(x * x) for x in
+                                 jax.tree_util.tree_leaves(grads)))
+            scale = jnp.minimum(1.0, self.GRAD_CLIP / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda x: x * scale, grads)
+            updates, opt_state = optim.update(grads, state.opt_state,
+                                              state.params, group_lrs)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+            return state.replace(params=params, opt_state=opt_state,
+                                 batch_stats=new_stats,
+                                 step=state.step + 1), loss, aux
+
+        return step_fn
+
+    def _cost_fn(self, batch, rng):
+        if not hasattr(self, "_cost_jit"):
+            def cf(params, batch_stats, graph, rng, ignore):
+                return self.models["model"].apply(
+                    {"params": params["model"],
+                     "batch_stats": batch_stats["model"]},
+                    graph, deterministic=True,
+                    rngs={"random": rng}, ignore_neighbors=ignore,
+                    return_cost_matrix=True)
+            self._cost_jit = jax.jit(cf, static_argnums=(4,))
+        return self._cost_jit(self.state.params, self.state.batch_stats,
+                              batch["graph"], rng, self._ignore_neighbors)
+
+    def _attach_ot_plans(self, batch, rng):
+        if self.models["model"].hyperparams.get("loss_type") != "ot_emd":
+            return batch
+        cost = np.asarray(self._cost_fn(batch, rng))     # [T, C, G]
+        g = batch["graph"]
+        pos_mask = np.asarray(g.extras["pos_mask"])      # [G, T]
+        gmask = np.asarray(g.graph_mask)
+        T, C, G = cost.shape
+        plans = np.zeros((G, T, C), np.float32)
+        for i in range(G):
+            if not gmask[i]:
+                continue
+            nt = int(pos_mask[i].sum())
+            if nt == 0:
+                continue
+            M = cost[:nt, :, i]
+            M = np.max(np.abs(M)) + M
+            plan = exact_emd(M, np.ones(nt) / nt, np.ones(C) / C)
+            plans[i, :nt] = plan
+        return dict(batch, _ot_plans=jnp.asarray(plans))
+
+    def train_epoch(self, loader, epoch):
+        self._epoch = epoch
+        log_iterations = self.args.get("log_iterations", 20)
+        for i, batch in enumerate(loader):
+            self.rng, sub = jax.random.split(self.rng)
+            batch = self._attach_ot_plans(batch, sub)
+            train_step, _ = self._steps_for(batch)
+            self.state, loss, aux = train_step(self.state, batch,
+                                               self._full_lr_vector(), sub)
+            self.optim_steps += 1
+            self._after_optim_step()
+            if self.optim_steps % log_iterations == 0:
+                self.logger.log({self.loss_name: float(loss)}, "train",
+                                self.optim_steps, epoch)
+
+    def evaluate_epoch(self, loader, epoch=0):
+        total, n = 0.0, 0
+        for batch in loader:
+            self.rng, sub = jax.random.split(self.rng)
+            batch = self._attach_ot_plans(batch, sub)
+            _, eval_step = self._steps_for(batch)
+            loss, aux = eval_step(self.state, batch, sub)
+            total += float(loss)
+            n += 1
+        return {self.loss_name: total / max(n, 1)}
+
+
 TRAINER_REGISTRY = {
     "default": Trainer,
     "contrastive": SelfSupervisedTrainer,
@@ -864,4 +1016,5 @@ TRAINER_REGISTRY = {
     "graphcl_trainer": GraphCLTrainer,
     "noisy_negatives": NoisyNegativesTrainer,
     "distance_predictor": DistancePredictorTrainer,
+    "optimal_transport": OptimalTransportTrainer,
 }

@@ -66,3 +66,29 @@ def test_pna_random_noise_changes_output():
                       rngs={"random": jax.random.key(1)})
     assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-6
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o1b))
+
+
+def test_geomol_wrappers():
+    import jax
+    from infomax3d_tpu.models import GeomolGNNWrapper, GeomolGNNWrapperOGBFeat
+    g = batch()
+    m1 = GeomolGNNWrapperOGBFeat(hidden_dim=32, depth=2, n_layers=2,
+                                 target_dim=3)
+    vs = m1.init(jax.random.key(0), g, deterministic=True)
+    o1 = m1.apply(vs, g, deterministic=True,
+                  rngs={"random": jax.random.key(1)})
+    o2 = m1.apply(vs, g, deterministic=True,
+                  rngs={"random": jax.random.key(2)})
+    assert o1.shape == (5, 3)
+    assert np.isfinite(np.asarray(o1)).all()
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-7
+
+    # float one-hot variant
+    import jax.numpy as jnp
+    g_float = g.replace(node_feat=g.node_feat.astype(jnp.float32),
+                        edge_feat=g.edge_feat.astype(jnp.float32))
+    m2 = GeomolGNNWrapper(hidden_dim=32, node_dim=9, edge_dim=3, depth=2,
+                          target_dim=2)
+    vs2 = m2.init(jax.random.key(0), g_float, deterministic=True)
+    o = m2.apply(vs2, g_float, deterministic=True)
+    assert o.shape == (5, 2)
