@@ -71,12 +71,20 @@ def graph_only_collate(items: Sequence[Dict], bucket: BucketSpec):
 @register_collate("contrastive_collate")
 def contrastive_collate(items: Sequence[Dict], bucket: BucketSpec,
                         bucket3d: Optional[BucketSpec] = None):
-    """[2D graphs], [3D complete graphs] (custom_collate.py:105-114)."""
-    g2 = batch_graphs([it["graph2d"] for it in items], bucket)
+    """[2D graphs], [3D complete graphs], optional targets
+    (custom_collate.py:105-114)."""
+    if "targets" in items[0]:
+        g2 = batch_graphs([dict(it["graph2d"], targets=it["targets"])
+                           for it in items], bucket, extras_keys=["targets"])
+        _pad_targets_nan(g2, "targets", len(items))
+        g2b = to_graph_batch(g2, extras_keys=["targets"])
+    else:
+        g2 = batch_graphs([it["graph2d"] for it in items], bucket)
+        g2b = to_graph_batch(g2)
     b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
                                 _complete_edge_cap(items))
     g3 = batch_graphs([it["graph3d"] for it in items], b3)
-    return {"graph2d": to_graph_batch(g2), "graph3d": to_graph_batch(g3)}
+    return {"graph2d": g2b, "graph3d": to_graph_batch(g3)}
 
 
 @register_collate("conformer_collate")
@@ -448,7 +456,7 @@ class GraphDataLoader:
                  shuffle: bool = True, drop_last: bool = False,
                  seed: int = 0, indices: Optional[Sequence[int]] = None,
                  prefetch: int = 2, collate_kwargs: Optional[Dict] = None,
-                 n_shards: int = 1):
+                 n_shards: int = 1, batch_sampler=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate if callable(collate) else get_collate(collate)
@@ -467,8 +475,11 @@ class GraphDataLoader:
                                   else np.arange(len(dataset)))
         self.prefetch = prefetch
         self.collate_kwargs = collate_kwargs or {}
+        self.batch_sampler = batch_sampler
 
     def __len__(self):
+        if self.batch_sampler is not None:
+            return len(self.batch_sampler)
         n = len(self.indices)
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
@@ -484,12 +495,18 @@ class GraphDataLoader:
             kw["bucket3d"] = self._shard_bucket(kw["bucket3d"])
         return kw
 
-    def _batches(self) -> Iterator:
+    def _index_batches(self):
+        if self.batch_sampler is not None:
+            yield from self.batch_sampler
+            return
         idx = self.indices.copy()
         if self.shuffle:
             self.rng.shuffle(idx)
         for i in range(0, len(idx), self.batch_size):
-            chunk = idx[i:i + self.batch_size]
+            yield idx[i:i + self.batch_size]
+
+    def _batches(self) -> Iterator:
+        for chunk in self._index_batches():
             if len(chunk) < self.batch_size and self.drop_last:
                 continue
             items = [self.dataset[int(j)] for j in chunk]

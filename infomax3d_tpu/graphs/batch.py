@@ -90,9 +90,13 @@ class BucketSpec:
     n_graphs: int = struct.field(pytree_node=False)
     n_nodes: int = struct.field(pytree_node=False)
     n_edges: int = struct.field(pytree_node=False)
+    # mailbox width (max in-degree); 0 disables the scatter-free mailbox
+    # aggregation path (ops/mailbox.py)
+    max_deg: int = struct.field(pytree_node=False, default=0)
 
     def __repr__(self):
-        return f"BucketSpec(G={self.n_graphs}, N={self.n_nodes}, E={self.n_edges})"
+        return (f"BucketSpec(G={self.n_graphs}, N={self.n_nodes}, "
+                f"E={self.n_edges}, K={self.max_deg})")
 
 
 def complete_graph_edges(n: int, self_loops: bool = False) -> Tuple[np.ndarray, np.ndarray]:
@@ -194,6 +198,13 @@ def batch_graphs(
     _pad_node_field("coords")
     _pad_node_field("lap_pe")
 
+    if G and bucket.max_deg > 0:
+        from infomax3d_tpu.ops.mailbox import build_mailbox
+        in_e, in_m, in_s = build_mailbox(receivers, N, E, bucket.max_deg)
+        out_e, out_m, out_s = build_mailbox(senders, N, E, bucket.max_deg)
+        out.update(mb_in_edges=in_e, mb_in_mask=in_m, mb_edge_slot=in_s,
+                   mb_out_edges=out_e, mb_out_mask=out_m, mb_out_slot=out_s)
+
     # snorm_n = 1/sqrt(n) per node (reference s_norm collates, custom_collate.py:43-49)
     snorm = np.zeros((N, 1), dtype=np.float32)
     snorm[:n_tot, 0] = np.repeat(1.0 / np.sqrt(n_per.astype(np.float32)), n_per)
@@ -211,6 +222,10 @@ def batch_graphs(
 def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = ()) -> GraphBatch:
     """Wrap host arrays from :func:`batch_graphs` into a `GraphBatch` pytree."""
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
+    for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
+              "mb_out_mask", "mb_out_slot"):
+        if k in arrays:
+            extras[k] = jnp.asarray(arrays[k])
     return GraphBatch(
         node_feat=jnp.asarray(arrays["node_feat"]),
         senders=jnp.asarray(arrays["senders"]),

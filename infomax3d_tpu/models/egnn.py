@@ -35,8 +35,9 @@ class EGCLayer(nn.Module):
         xs = jnp.take(g.coords, g.senders.clip(0, N - 1), axis=0)
         xd = jnp.take(g.coords, g.receivers.clip(0, N - 1), axis=0)
         sq = jnp.sum((xs - xd) ** 2, axis=-1, keepdims=True)
-        src = jnp.take(h, g.senders.clip(0, N - 1), axis=0)
-        dst = jnp.take(h, g.receivers.clip(0, N - 1), axis=0)
+        from infomax3d_tpu.ops.mailbox import edge_aggregate, gather_dst, gather_src
+        src = gather_src(g, h)
+        dst = gather_dst(g, h)
         z = jnp.concatenate([src, dst, sq], axis=-1)
         msg = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim, layers=2,
                   mid_activation=self.mid_activation,
@@ -48,12 +49,9 @@ class EGCLayer(nn.Module):
                                           deterministic=deterministic)
         gate = jax.nn.sigmoid(nn.Dense(1, name="soft_edge_network")(msg))
         gated = msg * gate
-        if self.reduce_func == "sum":
-            agg = segment_sum(gated, g.receivers, N)
-        elif self.reduce_func == "mean":
-            agg = segment_mean(gated, g.receivers, N)
-        else:
+        if self.reduce_func not in ("sum", "mean"):
             raise ValueError(f"reduce function not supported: {self.reduce_func}")
+        agg = edge_aggregate(g, gated, self.reduce_func)
         upd = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim, layers=2,
                   mid_activation=self.mid_activation, last_activation="none",
                   mid_batch_norm=self.batch_norm, last_batch_norm=self.batch_norm,

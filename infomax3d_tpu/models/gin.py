@@ -33,8 +33,9 @@ class GINConv(nn.Module):
     def __call__(self, g: GraphBatch, h, edge_attr, deterministic=True):
         N = h.shape[0]
         emb = BondEncoder(self.hidden_dim, name="bond_encoder")(edge_attr)
-        msg = jax.nn.relu(jnp.take(h, g.senders.clip(0, N - 1), axis=0) + emb)
-        agg = segment_sum(msg, g.receivers, N)
+        from infomax3d_tpu.ops.mailbox import edge_aggregate, gather_src
+        msg = jax.nn.relu(gather_src(g, h) + emb)
+        agg = edge_aggregate(g, msg, "sum")
         eps = self.param("eps", nn.initializers.zeros, (1,))
         z = (1.0 + eps) * h + agg
         z = nn.Dense(self.hidden_dim)(z)
@@ -58,9 +59,9 @@ class GCNConv(nn.Module):
         norm = degs[:, None] ** -0.5
         enorm = (jnp.take(norm, g.senders.clip(0, N - 1), axis=0) *
                  jnp.take(norm, g.receivers.clip(0, N - 1), axis=0))
-        msg = enorm * jax.nn.relu(
-            jnp.take(x, g.senders.clip(0, N - 1), axis=0) + emb)
-        agg = segment_sum(msg, g.receivers, N)
+        from infomax3d_tpu.ops.mailbox import edge_aggregate, gather_src
+        msg = enorm * jax.nn.relu(gather_src(g, x) + emb)
+        agg = edge_aggregate(g, msg, "sum")
         root_emb = self.param("root_emb", nn.initializers.normal(1.0),
                               (self.hidden_dim,))
         return agg + jax.nn.relu(x + root_emb[None, :]) / degs[:, None]

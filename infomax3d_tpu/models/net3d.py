@@ -27,7 +27,8 @@ from flax import linen as nn
 from infomax3d_tpu.graphs.batch import GraphBatch
 from infomax3d_tpu.models.base import MLP, AtomEncoder
 from infomax3d_tpu.ops.encodings import fourier_encode_dist
-from infomax3d_tpu.ops.segment import graph_readout, segment_mean, segment_sum
+from infomax3d_tpu.ops.mailbox import edge_aggregate, gather_dst, gather_src
+from infomax3d_tpu.ops.segment import graph_readout
 
 
 class Net3DLayer(nn.Module):
@@ -45,8 +46,8 @@ class Net3DLayer(nn.Module):
     def __call__(self, g: GraphBatch, h: jnp.ndarray, e: jnp.ndarray,
                  deterministic: bool = True):
         N = h.shape[0]
-        src = jnp.take(h, g.senders.clip(0, N - 1), axis=0)
-        dst = jnp.take(h, g.receivers.clip(0, N - 1), axis=0)
+        src = gather_src(g, h)
+        dst = gather_dst(g, h)
         z = jnp.concatenate([src, dst, e], axis=-1)
         message = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
                       layers=self.message_net_layers,
@@ -61,12 +62,9 @@ class Net3DLayer(nn.Module):
         e_new = e + message                                   # net3d.py:116
         gate = jax.nn.sigmoid(nn.Dense(1, name="soft_edge_network")(message))
         gated = message * gate
-        if self.reduce_func == "sum":
-            agg = segment_sum(gated, g.receivers, N)
-        elif self.reduce_func == "mean":
-            agg = segment_mean(gated, g.receivers, N)
-        else:
+        if self.reduce_func not in ("sum", "mean"):
             raise ValueError(f"reduce function not supported: {self.reduce_func}")
+        agg = edge_aggregate(g, gated, self.reduce_func)
         upd = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
                   layers=self.update_net_layers,
                   mid_activation=self.mid_activation, last_activation="none",

@@ -22,7 +22,8 @@ from flax import linen as nn
 
 from infomax3d_tpu.graphs.batch import GraphBatch
 from infomax3d_tpu.models.base import MLP, AtomEncoder, BondEncoder
-from infomax3d_tpu.ops.segment import graph_readout, pna_multi_aggregate
+from infomax3d_tpu.ops.mailbox import gather_dst, gather_src, pna_aggregate
+from infomax3d_tpu.ops.segment import graph_readout
 
 
 class PNALayer(nn.Module):
@@ -50,8 +51,8 @@ class PNALayer(nn.Module):
         N = h.shape[0]
         residual = self.residual and (self.in_dim == self.out_dim)
 
-        src = jnp.take(h, g.senders.clip(0, N - 1), axis=0)
-        dst = jnp.take(h, g.receivers.clip(0, N - 1), axis=0)
+        src = gather_src(g, h)
+        dst = gather_dst(g, h)
         parts = [src, dst]
         if self.in_dim_edges > 0:
             parts.append(e)
@@ -69,8 +70,8 @@ class PNALayer(nn.Module):
                   batch_norm_momentum=self.batch_norm_momentum,
                   name="pretrans")(z, mask=g.edge_mask, deterministic=deterministic)
 
-        agg = pna_multi_aggregate(msg, g.receivers, N, self.aggregators,
-                                  self.scalers, self.avg_d_log)
+        agg = pna_aggregate(g, msg, self.aggregators, self.scalers,
+                            self.avg_d_log)
 
         h_cat = jnp.concatenate([h, agg], axis=-1)
         h_new = MLP(out_dim=self.out_dim, hidden_size=self.out_dim,

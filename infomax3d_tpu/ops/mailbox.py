@@ -1,0 +1,236 @@
+"""Mailbox (degree-bucketed dense) aggregation — the scatter-free hot path.
+
+Why: XLA lowers scatter-add on TPU to a row-serialized loop (~0.19 ms per
+scatter on a 18k-edge batch regardless of width); a PNA train step issues
+~100 of them (aggregators x layers x fwd/bwd) = ~20 ms/step of pure scatter
+overhead.  This module removes EVERY scatter from forward AND backward:
+
+* the host batcher precomputes, per node, the ids of its incoming/outgoing
+  edges (`in_edges [N, K]` + mask) plus the inverse map `edge_slot [E]`
+  (which mailbox slot each edge occupies — edges partition into mailboxes,
+  so it's a bijection);
+* aggregation = ONE gather into [N, K, D] + masked VPU reductions — exactly
+  DGL's mailbox semantics, and all PNA aggregators amortize the same gather;
+* `mailbox_gather` carries a custom VJP: the cotangent of a slot-partitioned
+  gather is a PERMUTATION, expressed as another gather through `edge_slot` —
+  no scatter;
+* node-feature gathers (`h[senders]`) get a custom VJP whose backward is a
+  mailbox-sum over the node's incident edges — again a gather + reduce.
+
+Everything falls back to `ops.segment` when the batch has no mailbox arrays
+(correctness oracle; also used in tests).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infomax3d_tpu.ops.segment import EPS
+
+
+def build_mailbox(indices: np.ndarray, num_nodes: int, num_edges: int,
+                  max_deg: Optional[int] = None):
+    """Host-side (vectorized): per-node list of edge ids with
+    `indices[e] == node`.
+
+    Returns (edges [N, K] int32 pad=E, mask [N, K] bool, slot [E] int32 where
+    slot[e] = n * K + k flat position of edge e, pad edges -> N*K).
+    """
+    indices = np.asarray(indices)
+    valid = (indices >= 0) & (indices < num_nodes)
+    e_ids = np.nonzero(valid)[0]
+    tgt = indices[e_ids].astype(np.int64)
+    order = np.argsort(tgt, kind="stable")
+    e_sorted = e_ids[order]
+    t_sorted = tgt[order]
+    starts = np.searchsorted(t_sorted, np.arange(num_nodes))
+    pos = np.arange(len(t_sorted)) - starts[t_sorted]
+    deg_max = int(pos.max()) + 1 if len(pos) else 1
+    K = int(max_deg or deg_max)
+    if deg_max > K:
+        raise ValueError(f"degree {deg_max} exceeds mailbox width {K}")
+    edges = np.full((num_nodes, K), num_edges, np.int32)
+    mask = np.zeros((num_nodes, K), bool)
+    slot = np.full(num_edges, num_nodes * K, np.int32)
+    edges[t_sorted, pos] = e_sorted
+    mask[t_sorted, pos] = True
+    slot[e_sorted] = (t_sorted * K + pos).astype(np.int32)
+    return edges, mask, slot
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mailbox_gather(messages, in_edges, edge_slot, num_edges):
+    """[E, D] edge messages -> [N, K, D] mailboxes (zero-filled padding)."""
+    E = messages.shape[0]
+    padded = jnp.concatenate([messages, jnp.zeros((1,) + messages.shape[1:],
+                                                  messages.dtype)], axis=0)
+    return jnp.take(padded, in_edges.clip(0, E), axis=0)
+
+
+def _mg_fwd(messages, in_edges, edge_slot, num_edges):
+    return mailbox_gather(messages, in_edges, edge_slot, num_edges), \
+        (edge_slot, in_edges.shape)
+
+
+def _mg_bwd(num_edges, res, cot):
+    edge_slot, (N, K) = res
+    flat = cot.reshape((N * K,) + cot.shape[2:])
+    flat = jnp.concatenate([flat, jnp.zeros((1,) + flat.shape[1:],
+                                            flat.dtype)], axis=0)
+    d_messages = jnp.take(flat, edge_slot.clip(0, N * K), axis=0)
+    return d_messages, None, None
+
+
+mailbox_gather.defvjp(_mg_fwd, _mg_bwd)
+
+
+@jax.custom_vjp
+def gather_nodes(h, idx, in_edges, edge_slot):
+    """h[idx] ([E, D]) with a scatter-free backward: the cotangent per node is
+    the masked mailbox-sum of the edge cotangents over the node's incident
+    edges (`in_edges` built for THIS index array)."""
+    N = h.shape[0]
+    return jnp.take(h, idx.clip(0, N - 1), axis=0)
+
+
+def _gn_fwd(h, idx, in_edges, edge_slot):
+    return gather_nodes(h, idx, in_edges, edge_slot), \
+        (idx, in_edges, edge_slot, h.shape)
+
+
+def _gn_bwd(res, cot):
+    idx, in_edges, edge_slot, h_shape = res
+    E = cot.shape[0]
+    mb = mailbox_gather(cot, in_edges, edge_slot, E)   # [N, K, D]
+    return mb.sum(axis=1), None, None, None
+
+
+gather_nodes.defvjp(_gn_fwd, _gn_bwd)
+
+
+def mailbox_sum(messages, in_edges, edge_slot, mask):
+    mb = mailbox_gather(messages, in_edges, edge_slot, messages.shape[0])
+    return jnp.where(mask[..., None], mb, 0.0).sum(axis=1)
+
+
+def mailbox_mean(messages, in_edges, edge_slot, mask):
+    s = mailbox_sum(messages, in_edges, edge_slot, mask)
+    deg = mask.sum(axis=1).astype(messages.dtype)
+    return s / jnp.maximum(deg, 1.0)[:, None]
+
+
+def pna_mailbox_aggregate(
+    messages: jnp.ndarray,          # [E, D]
+    in_edges: jnp.ndarray,          # [N, K]
+    edge_slot: jnp.ndarray,         # [E]
+    mask: jnp.ndarray,              # [N, K]
+    aggregators: Sequence[str],
+    scalers: Sequence[str] = ("identity",),
+    avg_d_log: float = 1.0,
+) -> jnp.ndarray:
+    """All PNA aggregators + degree scalers from ONE mailbox gather —
+    value-identical to `ops.segment.pna_multi_aggregate` (same zero-degree and
+    >1-scaler-gate semantics)."""
+    mb = mailbox_gather(messages, in_edges, edge_slot, messages.shape[0])
+    m = mask[..., None]
+    mbz = jnp.where(m, mb, 0.0)
+    deg = mask.sum(axis=1).astype(messages.dtype)
+    deg_safe = jnp.maximum(deg, 1.0)[:, None]
+    has = (deg > 0.0)[:, None]
+
+    need_mean = any(a in ("mean", "std", "var", "moment3", "moment4", "moment5")
+                    for a in aggregators)
+    s1 = mbz.sum(axis=1)
+    mean = s1 / deg_safe if need_mean else None
+
+    outs = {}
+    big = jnp.asarray(jnp.finfo(messages.dtype).max, messages.dtype)
+    for a in aggregators:
+        if a == "sum":
+            outs[a] = s1
+        elif a == "mean":
+            outs[a] = jnp.where(has, mean, 0.0)
+        elif a == "max":
+            outs[a] = jnp.where(has, jnp.where(m, mb, -big).max(axis=1), 0.0)
+        elif a == "min":
+            outs[a] = jnp.where(has, jnp.where(m, mb, big).min(axis=1), 0.0)
+        elif a in ("std", "var"):
+            s2 = (mbz * mbz).sum(axis=1)
+            var = jax.nn.relu(s2 / deg_safe - mean * mean)
+            outs[a] = jnp.where(has, var if a == "var"
+                                else jnp.sqrt(var + EPS), 0.0)
+        elif a.startswith("moment"):
+            n = int(a[len("moment"):])
+            centered = jnp.where(m, mb - mean[:, None, :], 0.0)
+            mn = (centered ** n).sum(axis=1) / deg_safe
+            rooted = jnp.sign(mn) * jnp.power(jnp.abs(mn) + EPS, 1.0 / n)
+            outs[a] = jnp.where(has, rooted, 0.0)
+        else:
+            raise ValueError(f"unknown PNA aggregator: {a}")
+    h = jnp.concatenate([outs[a] for a in aggregators], axis=-1)
+
+    if len(scalers) > 1:
+        log_deg = jnp.log(deg + 1.0)[:, None]
+        scaled = []
+        for s in scalers:
+            if s == "identity":
+                scaled.append(h)
+            elif s == "amplification":
+                scaled.append(h * (log_deg / avg_d_log))
+            elif s == "attenuation":
+                scaled.append(jnp.where(has, h * (avg_d_log /
+                                                  jnp.maximum(log_deg, EPS)),
+                                        0.0))
+            else:
+                raise ValueError(f"unknown PNA scaler: {s}")
+        h = jnp.concatenate(scaled, axis=-1)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# GraphBatch-level dispatch: mailbox when available, segment ops otherwise
+# ---------------------------------------------------------------------------
+
+def has_mailbox(g) -> bool:
+    return g.extras.get("mb_in_edges") is not None
+
+
+def edge_aggregate(g, messages, op: str):
+    """Edge -> receiver-node reduction for a GraphBatch."""
+    if has_mailbox(g):
+        fn = mailbox_sum if op == "sum" else mailbox_mean
+        return fn(messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],
+                  g.extras["mb_in_mask"])
+    from infomax3d_tpu.ops.segment import segment_mean, segment_sum
+    if op == "sum":
+        return segment_sum(messages, g.receivers, g.num_nodes)
+    return segment_mean(messages, g.receivers, g.num_nodes)
+
+
+def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
+    if has_mailbox(g):
+        return pna_mailbox_aggregate(
+            messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],
+            g.extras["mb_in_mask"], aggregators, scalers, avg_d_log)
+    from infomax3d_tpu.ops.segment import pna_multi_aggregate
+    return pna_multi_aggregate(messages, g.receivers, g.num_nodes,
+                               aggregators, scalers, avg_d_log)
+
+
+def gather_src(g, h):
+    """h[senders] with scatter-free backward when mailbox arrays exist."""
+    if has_mailbox(g):
+        return gather_nodes(h, g.senders, g.extras["mb_out_edges"],
+                            g.extras["mb_out_slot"])
+    return jnp.take(h, g.senders.clip(0, g.num_nodes - 1), axis=0)
+
+
+def gather_dst(g, h):
+    if has_mailbox(g):
+        return gather_nodes(h, g.receivers, g.extras["mb_in_edges"],
+                            g.extras["mb_edge_slot"])
+    return jnp.take(h, g.receivers.clip(0, g.num_nodes - 1), axis=0)

@@ -408,9 +408,12 @@ class Trainer:
         models_to_save = self.args.get("models_to_save", []) or []
         epochs_no_improve = 0
 
+        eval_per_epochs = self.args.get("eval_per_epochs", 0)
         for epoch in range(self.start_epoch, num_epochs + 1):
             self.train_epoch(train_loader, epoch)
             metrics = self.evaluate_epoch(val_loader, epoch)
+            if eval_per_epochs > 0 and epoch % eval_per_epochs == 0:
+                self.run_per_epoch_evaluations(val_loader, epoch)
             val_score = metrics.get(self.main_metric, float("nan"))
             for name, c in self.lr_controllers.items():
                 c.after_epoch(val_score)
@@ -443,6 +446,10 @@ class Trainer:
         if os.path.exists(best):
             self._load(best, restore_host=False)
         return self.evaluation(val_loader, "val_best_checkpoint")
+
+    def run_per_epoch_evaluations(self, loader, epoch: int):
+        """Hook for expensive periodic evaluations (reference
+        run_per_epoch_evaluations, trainer.py:66-67)."""
 
     def evaluation(self, loader, data_split: str = "") -> Dict[str, float]:
         metrics = self.evaluate_epoch(loader)
@@ -524,6 +531,34 @@ class SelfSupervisedTrainer(Trainer):
 
     def _host_filter(self, batch, aux: AuxOut):
         return np.asarray(aux.predictions), np.asarray(aux.targets)
+
+    def run_per_epoch_evaluations(self, loader, epoch: int):
+        """Linear probe: least-squares fit of targets from 2D embeddings
+        (reference self_supervised_trainer.py:52-76)."""
+        n_samples = self.args.get("linear_probing_samples", 500)
+        reps, targets = [], []
+        for batch in loader:
+            _, eval_step = self._steps_for(batch)
+            self.rng, sub = jax.random.split(self.rng)
+            _, aux = eval_step(self.state, batch, sub)
+            z = np.asarray(aux.predictions)
+            t = batch["graph2d"].extras.get("targets")
+            if t is None:
+                return
+            reps.append(z)
+            targets.append(np.asarray(t)[: z.shape[0]])
+            if sum(r.shape[0] for r in reps) >= n_samples:
+                break
+        X = np.concatenate(reps, axis=0)
+        y = np.concatenate(targets, axis=0)
+        if X.shape[0] < X.shape[1]:
+            raise ValueError(
+                f"linear_probing_samples {X.shape[0]} < metric dim "
+                f"{X.shape[1]}; linear probing cannot be used.")
+        sol, *_ = np.linalg.lstsq(X, y, rcond=None)
+        mae = float(np.abs(X @ sol - y).mean())
+        self.logger.log({"linear_probe_mae": mae}, "val", self.optim_steps,
+                        epoch)
 
 
 class SelfSupervisedAlternatingTrainer(SelfSupervisedTrainer):
