@@ -59,12 +59,11 @@ def main():
     n_tot = sum(m["node_feat"].shape[0] for m in mols2)
     e2 = sum(m["senders"].shape[0] for m in mols2)
     e3 = sum(m["senders"].shape[0] for m in mols3)
-    max_deg2 = max(np.bincount(m["receivers"]).max() for m in mols2)
-    max_deg3 = max(m["node_feat"].shape[0] - 1 for m in mols3)
-    b2 = BucketSpec(B, ((n_tot + 255) // 256) * 256, ((e2 + 511) // 512) * 512,
-                    max_deg=int(max_deg2))
-    b3 = BucketSpec(B, b2.n_nodes, ((e3 + 2047) // 2048) * 2048,
-                    max_deg=int(max_deg3))
+    # measured on v5e: XLA scatter path 37 ms/step, dense-mailbox path 50 ms
+    # (mailbox materialization costs more than the scatters it removes) —
+    # scatter stays the default; the Pallas fused kernel is the fast path
+    b2 = BucketSpec(B, ((n_tot + 255) // 256) * 256, ((e2 + 511) // 512) * 512)
+    b3 = BucketSpec(B, b2.n_nodes, ((e3 + 2047) // 2048) * 2048)
     g2 = to_graph_batch(batch_graphs(mols2, b2))
     g3 = to_graph_batch(batch_graphs(mols3, b3))
 

@@ -256,6 +256,32 @@ def padded_collate_positional_encoding(items, bucket, max_nodes: int = 40,
                        num_lap_pe=num_lap_pe, **kw)
 
 
+@register_collate("egnn_padded_collate")
+def egnn_padded_collate(items: Sequence[Dict], bucket: BucketSpec,
+                        max_nodes: int = 40):
+    """Dense EGNN batch: padded float node features, coords, masks
+    (reference custom_collate.py:296-346)."""
+    from infomax3d_tpu.graphs.dense import dense_batch, to_dense_batch
+    graphs = []
+    for it in items:
+        g = dict(it["graph2d"])
+        if "coords" not in g and "graph3d" in it:
+            g["coords"] = it["graph3d"]["coords"]
+        if "targets" in it:
+            g["targets"] = it["targets"]
+        graphs.append(g)
+    extras = ["targets"] if "targets" in items[0] else []
+    arrays = dense_batch(graphs, bucket.n_graphs, max_nodes,
+                         extras_keys=extras, with_edges=False)
+    return {"graph": to_dense_batch(arrays, extras_keys=extras)}
+
+
+@register_collate("molhiv_padded_collate")
+def molhiv_padded_collate(items, bucket, max_nodes: int = 40, **kw):
+    """Padded dense batch for molhiv (reference custom_collate.py:385-391)."""
+    return egnn_padded_collate(items, bucket, max_nodes=max_nodes)
+
+
 @register_collate("pairwise_distance_collate")
 def pairwise_distance_collate(items: Sequence[Dict], bucket: BucketSpec,
                               bucket3d: Optional[BucketSpec] = None):

@@ -1,0 +1,175 @@
+"""Dataset preprocessing: raw chemistry files -> the flat .npz cache
+(reference `datasets/qm9_dataset.py:370-471`, `qmugs_dataset.py:230-315`).
+
+Host-side data PREP (RDKit + optional OGB featurizers); run once in an
+environment that has RDKit:
+
+  python -m infomax3d_tpu.data.preprocess qm9 --raw dataset/QM9/raw \
+      --out dataset/QM9/processed.npz
+
+The cache layout matches the reference's processed tensors: flat contiguous
+``atom_features [ΣN, 9]`` (OGB codes), ``edge_features [ΣE, 3]``,
+``edge_indices [2, ΣE]`` (both directions), ``coordinates`` ([ΣN, 3] or
+[ΣN, C, 3]), ``targets``, plus ``atom_slices`` / ``edge_slices``.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# OGB-compatible featurization tables (ogb.utils.features); hardcoded so the
+# prep also works from plain RDKit without ogb installed
+ATOM_CHIRALITY = ["CHI_UNSPECIFIED", "CHI_TETRAHEDRAL_CW",
+                  "CHI_TETRAHEDRAL_CCW", "CHI_OTHER", "misc"]
+HYBRIDIZATIONS = ["SP", "SP2", "SP3", "SP3D", "SP3D2", "misc"]
+BOND_TYPES = ["SINGLE", "DOUBLE", "TRIPLE", "AROMATIC", "misc"]
+BOND_STEREO = ["STEREONONE", "STEREOZ", "STEREOE", "STEREOCIS",
+               "STEREOTRANS", "STEREOANY"]
+
+
+def _idx(lst, val):
+    try:
+        return lst.index(val)
+    except ValueError:
+        return len(lst) - 1
+
+
+def atom_features(atom) -> List[int]:
+    """OGB atom_to_feature_vector equivalent."""
+    return [
+        min(atom.GetAtomicNum() - 1, 118),
+        _idx(ATOM_CHIRALITY, str(atom.GetChiralTag())),
+        min(atom.GetTotalDegree(), 11),
+        min(atom.GetFormalCharge() + 5, 11),
+        min(atom.GetTotalNumHs(), 9),
+        min(atom.GetNumRadicalElectrons(), 5),
+        _idx(HYBRIDIZATIONS, str(atom.GetHybridization())),
+        int(atom.GetIsAromatic()),
+        int(atom.IsInRing()),
+    ]
+
+
+def bond_features(bond) -> List[int]:
+    return [
+        _idx(BOND_TYPES, str(bond.GetBondType())),
+        min(int(bond.GetStereo()), 5),
+        int(bond.GetIsConjugated()),
+    ]
+
+
+def mol_to_arrays(mol, num_conformers: int = 1) -> Optional[Dict[str, np.ndarray]]:
+    if mol is None:
+        return None
+    n = mol.GetNumAtoms()
+    if n == 0:
+        return None
+    af = np.array([atom_features(a) for a in mol.GetAtoms()], np.int32)
+    src, dst, bf = [], [], []
+    for b in mol.GetBonds():
+        i, j = b.GetBeginAtomIdx(), b.GetEndAtomIdx()
+        f = bond_features(b)
+        src += [i, j]
+        dst += [j, i]
+        bf += [f, f]
+    coords = None
+    confs = mol.GetConformers()
+    if confs:
+        if num_conformers > 1:
+            cs = [np.asarray(c.GetPositions(), np.float32)
+                  for c in confs[:num_conformers]]
+            while len(cs) < num_conformers:
+                cs.append(cs[-1])
+            coords = np.stack(cs, axis=1)           # [n, C, 3]
+        else:
+            coords = np.asarray(confs[0].GetPositions(), np.float32)
+    return dict(atom_features=af,
+                edge_index=np.array([src, dst], np.int64).reshape(2, -1),
+                edge_features=np.array(bf, np.int32).reshape(-1, 3),
+                coordinates=coords)
+
+
+def build_cache(mols, targets: Optional[np.ndarray], out_path: str,
+                num_conformers: int = 1):
+    atom_chunks, edge_chunks, ei_chunks, coord_chunks = [], [], [], []
+    atom_slices, edge_slices = [0], [0]
+    kept_targets = []
+    kept = 0
+    for i, mol in enumerate(mols):
+        arr = mol_to_arrays(mol, num_conformers)
+        if arr is None:
+            continue
+        atom_chunks.append(arr["atom_features"])
+        edge_chunks.append(arr["edge_features"])
+        ei_chunks.append(arr["edge_index"])
+        if arr["coordinates"] is not None:
+            coord_chunks.append(arr["coordinates"])
+        atom_slices.append(atom_slices[-1] + arr["atom_features"].shape[0])
+        edge_slices.append(edge_slices[-1] + arr["edge_features"].shape[0])
+        if targets is not None:
+            kept_targets.append(targets[i])
+        kept += 1
+    out = dict(
+        atom_features=np.concatenate(atom_chunks),
+        edge_features=np.concatenate(edge_chunks),
+        edge_indices=np.concatenate(ei_chunks, axis=1),
+        atom_slices=np.asarray(atom_slices, np.int64),
+        edge_slices=np.asarray(edge_slices, np.int64),
+    )
+    if coord_chunks:
+        out["coordinates"] = np.concatenate(coord_chunks)
+    if kept_targets:
+        out["targets"] = np.stack(kept_targets).astype(np.float32)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    np.savez_compressed(out_path, **out)
+    print(f"wrote {kept} molecules -> {out_path}")
+
+
+def preprocess_qm9(raw_dir: str, out_path: str):
+    from rdkit import Chem
+    sdf = os.path.join(raw_dir, "gdb9.sdf")
+    csv = os.path.join(raw_dir, "gdb9.sdf.csv")
+    suppl = Chem.SDMolSupplier(sdf, removeHs=False, sanitize=True)
+    targets = np.genfromtxt(csv, delimiter=",", skip_header=1)[:, 1:20]
+    build_cache(suppl, targets, out_path)
+
+
+def preprocess_sdf(raw_path: str, out_path: str, num_conformers: int = 1):
+    from rdkit import Chem
+    suppl = Chem.SDMolSupplier(raw_path, removeHs=False, sanitize=True)
+    build_cache(suppl, None, out_path, num_conformers)
+
+
+def preprocess_smiles(txt_path: str, out_path: str):
+    from rdkit import Chem
+    with open(txt_path) as f:
+        smiles = [l.strip() for l in f if l.strip()]
+    mols = [Chem.MolFromSmiles(s) for s in smiles]
+    build_cache(mols, None, out_path)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("dataset", choices=["qm9", "sdf", "smiles"])
+    p.add_argument("--raw", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num_conformers", type=int, default=1)
+    a = p.parse_args(argv)
+    try:
+        import rdkit  # noqa: F401
+    except ImportError:
+        raise SystemExit("RDKit is required for preprocessing; run this in a "
+                         "data-prep environment (the training environment "
+                         "only needs the .npz cache).")
+    if a.dataset == "qm9":
+        preprocess_qm9(a.raw, a.out)
+    elif a.dataset == "sdf":
+        preprocess_sdf(a.raw, a.out, a.num_conformers)
+    else:
+        preprocess_smiles(a.raw, a.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,10 @@ class BucketSpec:
     # mailbox width (max in-degree); 0 disables the scatter-free mailbox
     # aggregation path (ops/mailbox.py)
     max_deg: int = struct.field(pytree_node=False, default=0)
+    # sort edges by receiver and emit CSR row pointers — enables the Pallas
+    # fused segmented-aggregation kernel (ops/pallas/spmm.py); requires
+    # max_deg > 0 (the kernel's window bound)
+    csr: bool = struct.field(pytree_node=False, default=False)
 
     def __repr__(self):
         return (f"BucketSpec(G={self.n_graphs}, N={self.n_nodes}, "
@@ -198,7 +202,24 @@ def batch_graphs(
     _pad_node_field("coords")
     _pad_node_field("lap_pe")
 
-    if G and bucket.max_deg > 0:
+    if bucket.csr:
+        if bucket.max_deg <= 0:
+            raise ValueError("csr buckets need max_deg > 0")
+        # receiver-sorted edge order (stable; padding receivers == N sort last)
+        order = np.argsort(receivers, kind="stable")
+        for key in ("senders", "receivers", "edge_mask", "edge_graph",
+                    "edge_feat", "edge_dist"):
+            if key in out and out[key] is not None:
+                out[key] = out[key][order]
+        senders = out["senders"]
+        receivers = out["receivers"]
+        out["_edge_perm"] = order.astype(np.int32)   # original -> sorted pos
+        row_ptr = np.zeros(N + 1, np.int32)
+        np.cumsum(np.bincount(receivers.clip(0, N), minlength=N + 1)[:N],
+                  out=row_ptr[1:])
+        out["csr_row_ptr"] = row_ptr
+
+    if bucket.max_deg > 0:
         from infomax3d_tpu.ops.mailbox import build_mailbox
         in_e, in_m, in_s = build_mailbox(receivers, N, E, bucket.max_deg)
         out_e, out_m, out_s = build_mailbox(senders, N, E, bucket.max_deg)
@@ -223,7 +244,7 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     """Wrap host arrays from :func:`batch_graphs` into a `GraphBatch` pytree."""
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
-              "mb_out_mask", "mb_out_slot"):
+              "mb_out_mask", "mb_out_slot", "csr_row_ptr"):
         if k in arrays:
             extras[k] = jnp.asarray(arrays[k])
     return GraphBatch(

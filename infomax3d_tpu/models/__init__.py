@@ -26,6 +26,7 @@ from infomax3d_tpu.models.geomol_mpnn import (  # noqa: E402
     GeomolGNN, GeomolGNNWrapper, GeomolGNNWrapperOGBFeat,
 )
 from infomax3d_tpu.models.optimal_transport import OptimalTransportModel  # noqa: E402
+from infomax3d_tpu.models.egnn_dense import DenseEGNN  # noqa: E402
 
 __all__ = [
     "MODEL_REGISTRY", "get_model_class", "register_model",

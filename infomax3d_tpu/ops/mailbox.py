@@ -199,8 +199,27 @@ def has_mailbox(g) -> bool:
     return g.extras.get("mb_in_edges") is not None
 
 
+def has_csr(g) -> bool:
+    return g.extras.get("csr_row_ptr") is not None
+
+
+_PALLAS_AGGS = frozenset(("sum", "mean", "max", "min", "std", "var"))
+
+
+def _pallas_interpret() -> bool:
+    import jax
+    return jax.default_backend() == "cpu"
+
+
 def edge_aggregate(g, messages, op: str):
-    """Edge -> receiver-node reduction for a GraphBatch."""
+    """Edge -> receiver-node reduction for a GraphBatch: Pallas fused kernel
+    (csr buckets) > dense mailbox > XLA segment ops."""
+    if has_csr(g):
+        from infomax3d_tpu.ops.pallas.spmm import csr_mean, csr_sum
+        K = g.extras["mb_in_edges"].shape[1]
+        fn = csr_sum if op == "sum" else csr_mean
+        return fn(messages, g.extras["csr_row_ptr"], g.receivers, K,
+                  interpret=_pallas_interpret())
     if has_mailbox(g):
         fn = mailbox_sum if op == "sum" else mailbox_mean
         return fn(messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],
@@ -212,6 +231,12 @@ def edge_aggregate(g, messages, op: str):
 
 
 def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
+    if has_csr(g) and set(aggregators) <= _PALLAS_AGGS:
+        from infomax3d_tpu.ops.pallas.spmm import pna_csr_aggregate
+        K = g.extras["mb_in_edges"].shape[1]
+        return pna_csr_aggregate(messages, g.extras["csr_row_ptr"],
+                                 g.receivers, K, aggregators, scalers,
+                                 avg_d_log, interpret=_pallas_interpret())
     if has_mailbox(g):
         return pna_mailbox_aggregate(
             messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],

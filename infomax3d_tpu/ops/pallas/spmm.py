@@ -1,0 +1,233 @@
+"""Pallas fused CSR segmented multi-aggregation (the SpMM of SURVEY.md §2.6).
+
+Input contract: edges sorted by receiver (batcher `csr=True` buckets) with
+row pointers `row_ptr [N+1]`.  One kernel pass computes, per node tile, ALL
+of {sum, sum-of-squares, max(+argmax), min(+argmin)} of the incoming edge
+messages — without materializing dense [N, K, D] mailboxes (which cost more
+in relayout copies than they save in scatters) and without XLA scatters
+(row-serialized on TPU, ~0.19 ms each).
+
+Kernel shape:
+  grid = (N / TN, D / DC)
+  - row_ptr is scalar-prefetched; the node tile's edge window
+    [row_ptr[n0], row_ptr[n0] + WIN) is DMA'd from HBM (WIN = TN * max_deg,
+    bucket-static),
+  - incidence [TN, WIN] built by comparing a window iota against the tile's
+    per-node row offsets,
+  - sum / sumsq ride the MXU as incidence @ window,
+  - max / min reduce the window in CH-edge chunks on the VPU, tracking the
+    arg edge ids for the scatter-free backward,
+  - backward (custom VJP, plain XLA): gathers of the cotangents through
+    `receivers` + argmax/argmin compare — no scatter anywhere.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from infomax3d_tpu.ops.segment import EPS
+
+NEG_BIG = -3.0e38
+POS_BIG = 3.0e38
+
+
+def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref, amax_ref,
+            min_ref, amin_ref, win_ref, sem, *, TN, DC, WIN, CH, E):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n0 = i * TN
+    base = jnp.minimum(row_ptr_ref[n0], E - WIN)
+    copy = pltpu.make_async_copy(
+        msg_hbm.at[pl.ds(base, WIN), pl.ds(j * DC, DC)], win_ref, sem)
+    copy.start()
+
+    # per-node relative edge ranges within the window
+    starts = jnp.stack([row_ptr_ref[n0 + k] for k in range(TN)]) - base
+    ends = jnp.stack([row_ptr_ref[n0 + k + 1] for k in range(TN)]) - base
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (TN, WIN), 1)
+    inc = (eidx >= starts[:, None]) & (eidx < ends[:, None])   # [TN, WIN]
+    incf = inc.astype(jnp.float32)
+
+    copy.wait()
+    win = win_ref[:]                                           # [WIN, DC]
+    sum_ref[:] = jnp.dot(incf, win, preferred_element_type=jnp.float32)
+    sumsq_ref[:] = jnp.dot(incf, win * win,
+                           preferred_element_type=jnp.float32)
+
+    run_max = jnp.full((TN, DC), NEG_BIG, jnp.float32)
+    run_amax = jnp.zeros((TN, DC), jnp.int32)
+    run_min = jnp.full((TN, DC), POS_BIG, jnp.float32)
+    run_amin = jnp.zeros((TN, DC), jnp.int32)
+    for c in range(WIN // CH):
+        blk = win[c * CH:(c + 1) * CH, :]                      # [CH, DC]
+        # int32 mask: Mosaic can't insert a minor dim on 1-bit vectors
+        m = inc[:, c * CH:(c + 1) * CH].astype(jnp.int32)      # [TN, CH]
+        ids = base + c * CH + jax.lax.broadcasted_iota(
+            jnp.int32, (TN, CH, DC), 1)
+        cand = jnp.where(m[:, :, None] > 0, blk[None, :, :], NEG_BIG)
+        blk_max = jnp.max(cand, axis=1)
+        blk_arg = jnp.min(jnp.where(cand == blk_max[:, None, :], ids,
+                                    jnp.int32(2 ** 30)), axis=1)
+        better = blk_max > run_max
+        run_amax = jnp.where(better, blk_arg, run_amax)
+        run_max = jnp.where(better, blk_max, run_max)
+
+        cand_mn = jnp.where(m[:, :, None] > 0, blk[None, :, :], POS_BIG)
+        blk_min = jnp.min(cand_mn, axis=1)
+        blk_argn = jnp.min(jnp.where(cand_mn == blk_min[:, None, :], ids,
+                                     jnp.int32(2 ** 30)), axis=1)
+        better_n = blk_min < run_min
+        run_amin = jnp.where(better_n, blk_argn, run_amin)
+        run_min = jnp.where(better_n, blk_min, run_min)
+
+    deg = (ends - starts)[:, None]
+    max_ref[:] = jnp.where(deg > 0, run_max, 0.0)
+    amax_ref[:] = jnp.where(deg > 0, run_amax, E)
+    min_ref[:] = jnp.where(deg > 0, run_min, 0.0)
+    amin_ref[:] = jnp.where(deg > 0, run_amin, E)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _csr_reduce_raw(messages, row_ptr, max_deg: int, interpret: bool):
+    """Returns (sum, sumsq, max, argmax, min, argmin), each [N, D]."""
+    E, D = messages.shape
+    N = row_ptr.shape[0] - 1
+    TN = 8
+    DC = min(256, max(128, ((D + 127) // 128) * 128))
+    WIN = max(((TN * max_deg + 127) // 128) * 128, 128)
+    CH = min(64, WIN)
+    if D % DC:
+        messages = jnp.pad(messages, ((0, 0), (0, DC - D % DC)))
+    if E < WIN:
+        messages = jnp.pad(messages, ((0, WIN - E), (0, 0)))
+    Ep = messages.shape[0]
+    Dp = messages.shape[1]
+    if N % TN:
+        row_ptr = jnp.concatenate(
+            [row_ptr, jnp.full(TN - N % TN, row_ptr[-1], row_ptr.dtype)])
+    Np = row_ptr.shape[0] - 1
+
+    grid = (Np // TN, Dp // DC)
+    out_shape = [jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
+                 jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
+                 jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
+                 jax.ShapeDtypeStruct((Np, Dp), jnp.int32),
+                 jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
+                 jax.ShapeDtypeStruct((Np, Dp), jnp.int32)]
+    out_spec = pl.BlockSpec((TN, DC), lambda i, j, *_: (i, j),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[out_spec] * 6,
+        scratch_shapes=[pltpu.VMEM((WIN, DC), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    kernel = functools.partial(_kernel, TN=TN, DC=DC, WIN=WIN, CH=CH, E=Ep)
+    outs = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                          interpret=interpret)(row_ptr, messages)
+    return tuple(o[:N, :D] for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def csr_multi_reduce(messages, row_ptr, receivers, max_deg: int,
+                     interpret: bool = False):
+    """(sum, sumsq, max, min) with a scatter-free backward."""
+    s, s2, mx, _, mn, _ = _csr_reduce_raw(messages, row_ptr, max_deg, interpret)
+    return s, s2, mx, mn
+
+
+def _fwd(messages, row_ptr, receivers, max_deg, interpret):
+    s, s2, mx, amx, mn, amn = _csr_reduce_raw(messages, row_ptr, max_deg,
+                                              interpret)
+    return (s, s2, mx, mn), (messages, receivers, amx, amn)
+
+
+def _bwd(max_deg, interpret, res, cots):
+    messages, receivers, amax, amin = res
+    d_s, d_s2, d_mx, d_mn = cots
+    E, D = messages.shape
+    N = amax.shape[0]
+    recv = receivers.clip(0, N - 1)
+    eid = jnp.arange(E, dtype=jnp.int32)[:, None]
+    d_msg = jnp.take(d_s, recv, axis=0)
+    d_msg = d_msg + 2.0 * messages * jnp.take(d_s2, recv, axis=0)
+    d_msg = d_msg + jnp.take(d_mx, recv, axis=0) * \
+        (jnp.take(amax, recv, axis=0) == eid)
+    d_msg = d_msg + jnp.take(d_mn, recv, axis=0) * \
+        (jnp.take(amin, recv, axis=0) == eid)
+    # padding edges (receiver out of range) get zero cotangent
+    valid = (receivers < N)[:, None]
+    return jnp.where(valid, d_msg, 0.0), None, None
+
+
+csr_multi_reduce.defvjp(_fwd, _bwd)
+
+
+def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
+                      aggregators: Sequence[str],
+                      scalers: Sequence[str] = ("identity",),
+                      avg_d_log: float = 1.0, interpret: bool = False):
+    """PNA multi-aggregator from one fused kernel pass — value-identical to
+    `ops.segment.pna_multi_aggregate` for {sum, mean, max, min, std, var}.
+    Moment aggregators fall back to the XLA path upstream."""
+    s1, s2, mx, mn = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
+                                      interpret)
+    deg = (row_ptr[1:] - row_ptr[:-1]).astype(messages.dtype)[:, None]
+    deg_safe = jnp.maximum(deg, 1.0)
+    has = deg > 0
+    mean = s1 / deg_safe
+    outs = {}
+    for a in aggregators:
+        if a == "sum":
+            outs[a] = s1
+        elif a == "mean":
+            outs[a] = jnp.where(has, mean, 0.0)
+        elif a == "max":
+            outs[a] = mx
+        elif a == "min":
+            outs[a] = mn
+        elif a in ("std", "var"):
+            var = jax.nn.relu(s2 / deg_safe - mean * mean)
+            outs[a] = jnp.where(has, var if a == "var"
+                                else jnp.sqrt(var + EPS), 0.0)
+        else:
+            raise ValueError(f"aggregator '{a}' unsupported by the Pallas "
+                             f"kernel (use the XLA path)")
+    h = jnp.concatenate([outs[a] for a in aggregators], axis=-1)
+    if len(scalers) > 1:
+        log_deg = jnp.log(deg + 1.0)
+        scaled = []
+        for s in scalers:
+            if s == "identity":
+                scaled.append(h)
+            elif s == "amplification":
+                scaled.append(h * (log_deg / avg_d_log))
+            elif s == "attenuation":
+                scaled.append(jnp.where(has, h * (avg_d_log /
+                                                  jnp.maximum(log_deg, EPS)),
+                                        0.0))
+            else:
+                raise ValueError(f"unknown PNA scaler: {s}")
+        h = jnp.concatenate(scaled, axis=-1)
+    return h
+
+
+def csr_sum(messages, row_ptr, receivers, max_deg: int, interpret=False):
+    s1, _, _, _ = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
+                                   interpret)
+    return s1
+
+
+def csr_mean(messages, row_ptr, receivers, max_deg: int, interpret=False):
+    s1, _, _, _ = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
+                                   interpret)
+    deg = (row_ptr[1:] - row_ptr[:-1]).astype(messages.dtype)[:, None]
+    return s1 / jnp.maximum(deg, 1.0)

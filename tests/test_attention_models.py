@@ -158,3 +158,28 @@ def test_distance_predictor_trainer(tmp_path):
               for l in open(os.path.join(tr.run_dir, "metrics.jsonl"))
               if json.loads(l)["split"] == "train"]
     assert losses[-1] < losses[0]
+
+
+def test_dense_egnn():
+    from infomax3d_tpu.data.loader import get_collate
+    from infomax3d_tpu.models import DenseEGNN
+    ds = SyntheticMolecules(4, seed=1)
+    items = [{"graph2d": ds.graph2d(i), "targets": ds.targets[i]}
+             for i in range(4)]
+    b = get_collate("egnn_padded_collate")(items, BucketSpec(4, 0, 0),
+                                           max_nodes=MAXN)["graph"]
+    model = DenseEGNN(in_node_nf=9, hidden_dim=24, target_dim=3, n_layers=2)
+    vs = model.init(jax.random.key(0), b)
+    out = model.apply(vs, b)
+    assert out.shape == (4, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # E(3) invariance of the scalar readout under rotation (h-channel only)
+    import jax.numpy as jnp
+    theta = 0.5
+    R = jnp.asarray(np.array([[np.cos(theta), -np.sin(theta), 0],
+                              [np.sin(theta), np.cos(theta), 0],
+                              [0, 0, 1.0]], np.float32))
+    b_rot = b.replace(coords=b.coords @ R.T)
+    out_rot = model.apply(vs, b_rot)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_rot),
+                               rtol=1e-4, atol=1e-4)
