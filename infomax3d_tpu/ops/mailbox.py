@@ -247,15 +247,17 @@ def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
 
 
 def gather_src(g, h):
-    """h[senders] with scatter-free backward when mailbox arrays exist."""
-    if has_mailbox(g):
+    """h[senders]; under dense-mailbox batches the backward is a mailbox-sum
+    (no scatter).  csr batches use plain take: two scatter-adds per layer
+    cost less than materializing [N, K, D] cotangent mailboxes."""
+    if has_mailbox(g) and not has_csr(g):
         return gather_nodes(h, g.senders, g.extras["mb_out_edges"],
                             g.extras["mb_out_slot"])
     return jnp.take(h, g.senders.clip(0, g.num_nodes - 1), axis=0)
 
 
 def gather_dst(g, h):
-    if has_mailbox(g):
+    if has_mailbox(g) and not has_csr(g):
         return gather_nodes(h, g.receivers, g.extras["mb_in_edges"],
                             g.extras["mb_edge_slot"])
     return jnp.take(h, g.receivers.clip(0, g.num_nodes - 1), axis=0)

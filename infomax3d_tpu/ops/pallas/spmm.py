@@ -37,12 +37,15 @@ NEG_BIG = -3.0e38
 POS_BIG = 3.0e38
 
 
-def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref, amax_ref,
-            min_ref, amin_ref, win_ref, sem, *, TN, DC, WIN, CH, E):
+def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
+            min_ref, win_ref, sem, *, TN, DC, WIN, CH, E):
     i = pl.program_id(0)
     j = pl.program_id(1)
     n0 = i * TN
+    # sublane-align the DMA start (Mosaic requires provable 8-divisibility);
+    # WIN carries +8 headroom for the floor
     base = jnp.minimum(row_ptr_ref[n0], E - WIN)
+    base = pl.multiple_of((base // 8) * 8, 8)
     copy = pltpu.make_async_copy(
         msg_hbm.at[pl.ds(base, WIN), pl.ds(j * DC, DC)], win_ref, sem)
     copy.start()
@@ -61,47 +64,30 @@ def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref, amax_ref,
                            preferred_element_type=jnp.float32)
 
     run_max = jnp.full((TN, DC), NEG_BIG, jnp.float32)
-    run_amax = jnp.zeros((TN, DC), jnp.int32)
     run_min = jnp.full((TN, DC), POS_BIG, jnp.float32)
-    run_amin = jnp.zeros((TN, DC), jnp.int32)
     for c in range(WIN // CH):
         blk = win[c * CH:(c + 1) * CH, :]                      # [CH, DC]
         # int32 mask: Mosaic can't insert a minor dim on 1-bit vectors
         m = inc[:, c * CH:(c + 1) * CH].astype(jnp.int32)      # [TN, CH]
-        ids = base + c * CH + jax.lax.broadcasted_iota(
-            jnp.int32, (TN, CH, DC), 1)
         cand = jnp.where(m[:, :, None] > 0, blk[None, :, :], NEG_BIG)
-        blk_max = jnp.max(cand, axis=1)
-        blk_arg = jnp.min(jnp.where(cand == blk_max[:, None, :], ids,
-                                    jnp.int32(2 ** 30)), axis=1)
-        better = blk_max > run_max
-        run_amax = jnp.where(better, blk_arg, run_amax)
-        run_max = jnp.where(better, blk_max, run_max)
-
+        run_max = jnp.maximum(run_max, jnp.max(cand, axis=1))
         cand_mn = jnp.where(m[:, :, None] > 0, blk[None, :, :], POS_BIG)
-        blk_min = jnp.min(cand_mn, axis=1)
-        blk_argn = jnp.min(jnp.where(cand_mn == blk_min[:, None, :], ids,
-                                     jnp.int32(2 ** 30)), axis=1)
-        better_n = blk_min < run_min
-        run_amin = jnp.where(better_n, blk_argn, run_amin)
-        run_min = jnp.where(better_n, blk_min, run_min)
+        run_min = jnp.minimum(run_min, jnp.min(cand_mn, axis=1))
 
     deg = (ends - starts)[:, None]
     max_ref[:] = jnp.where(deg > 0, run_max, 0.0)
-    amax_ref[:] = jnp.where(deg > 0, run_amax, E)
     min_ref[:] = jnp.where(deg > 0, run_min, 0.0)
-    amin_ref[:] = jnp.where(deg > 0, run_amin, E)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _csr_reduce_raw(messages, row_ptr, max_deg: int, interpret: bool):
-    """Returns (sum, sumsq, max, argmax, min, argmin), each [N, D]."""
+    """Returns (sum, sumsq, max, min), each [N, D]."""
     E, D = messages.shape
     N = row_ptr.shape[0] - 1
-    TN = 8
+    TN = 32
     DC = min(256, max(128, ((D + 127) // 128) * 128))
-    WIN = max(((TN * max_deg + 127) // 128) * 128, 128)
-    CH = min(64, WIN)
+    WIN = max(((TN * max_deg + 8 + 127) // 128) * 128, 128)
+    CH = min(32, WIN)
     if D % DC:
         messages = jnp.pad(messages, ((0, 0), (0, DC - D % DC)))
     if E < WIN:
@@ -114,19 +100,14 @@ def _csr_reduce_raw(messages, row_ptr, max_deg: int, interpret: bool):
     Np = row_ptr.shape[0] - 1
 
     grid = (Np // TN, Dp // DC)
-    out_shape = [jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
-                 jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
-                 jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
-                 jax.ShapeDtypeStruct((Np, Dp), jnp.int32),
-                 jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
-                 jax.ShapeDtypeStruct((Np, Dp), jnp.int32)]
+    out_shape = [jax.ShapeDtypeStruct((Np, Dp), jnp.float32)] * 4
     out_spec = pl.BlockSpec((TN, DC), lambda i, j, *_: (i, j),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[out_spec] * 6,
+        out_specs=[out_spec] * 4,
         scratch_shapes=[pltpu.VMEM((WIN, DC), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )
@@ -140,30 +121,28 @@ def _csr_reduce_raw(messages, row_ptr, max_deg: int, interpret: bool):
 def csr_multi_reduce(messages, row_ptr, receivers, max_deg: int,
                      interpret: bool = False):
     """(sum, sumsq, max, min) with a scatter-free backward."""
-    s, s2, mx, _, mn, _ = _csr_reduce_raw(messages, row_ptr, max_deg, interpret)
-    return s, s2, mx, mn
+    return _csr_reduce_raw(messages, row_ptr, max_deg, interpret)
 
 
 def _fwd(messages, row_ptr, receivers, max_deg, interpret):
-    s, s2, mx, amx, mn, amn = _csr_reduce_raw(messages, row_ptr, max_deg,
-                                              interpret)
-    return (s, s2, mx, mn), (messages, receivers, amx, amn)
+    s, s2, mx, mn = _csr_reduce_raw(messages, row_ptr, max_deg, interpret)
+    return (s, s2, mx, mn), (messages, receivers, mx, mn)
 
 
 def _bwd(max_deg, interpret, res, cots):
-    messages, receivers, amax, amin = res
+    messages, receivers, mx, mn = res
     d_s, d_s2, d_mx, d_mn = cots
     E, D = messages.shape
-    N = amax.shape[0]
+    N = mx.shape[0]
     recv = receivers.clip(0, N - 1)
-    eid = jnp.arange(E, dtype=jnp.int32)[:, None]
     d_msg = jnp.take(d_s, recv, axis=0)
     d_msg = d_msg + 2.0 * messages * jnp.take(d_s2, recv, axis=0)
+    # equality routing (matches jax segment_max/min vjp semantics; padded
+    # rows have max/min forced to 0 but are masked below)
     d_msg = d_msg + jnp.take(d_mx, recv, axis=0) * \
-        (jnp.take(amax, recv, axis=0) == eid)
+        (messages == jnp.take(mx, recv, axis=0))
     d_msg = d_msg + jnp.take(d_mn, recv, axis=0) * \
-        (jnp.take(amin, recv, axis=0) == eid)
-    # padding edges (receiver out of range) get zero cotangent
+        (messages == jnp.take(mn, recv, axis=0))
     valid = (receivers < N)[:, None]
     return jnp.where(valid, d_msg, 0.0), None, None
 

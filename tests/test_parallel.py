@@ -222,3 +222,42 @@ def test_cross_device_loss_gather():
     got = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(P("data"), P("data")),
                                 out_specs=P(), check_vma=False))(z1, z2)
     np.testing.assert_allclose(float(got), expect, rtol=1e-5)
+
+
+def test_edge_partitioned_segment_sum():
+    """Edge-sharded SpMM == single-device segment_sum (the edge-partition
+    parallel mode of BASELINE.md)."""
+    from jax.sharding import PartitionSpec as P
+    from infomax3d_tpu.parallel.edge_partition import (
+        edge_partitioned_segment_sum, partition_edges, shard_edge_arrays,
+    )
+    mesh = make_mesh(NDEV)
+    rng = np.random.default_rng(0)
+    E, N, D = 4096, 512, 16
+    receivers = rng.integers(0, N, size=E).astype(np.int32)
+    edge_graph = rng.integers(0, 64, size=E).astype(np.int32)
+    edge_mask = rng.random(E) < 0.9
+    msgs = rng.normal(size=(E, D)).astype(np.float32)
+    msgs[~edge_mask] = 0.0
+    receivers_m = np.where(edge_mask, receivers, N + 7)
+
+    shard_of_edge = partition_edges(edge_graph, edge_mask, NDEV)
+    loads = np.bincount(shard_of_edge[edge_mask], minlength=NDEV)
+    assert loads.max() - loads.min() <= loads.mean() * 0.3 + 64  # balanced
+
+    arrays = dict(senders=receivers_m, receivers=receivers_m, msgs=msgs,
+                  edge_mask=edge_mask)
+    sharded = shard_edge_arrays(arrays, shard_of_edge, NDEV,
+                                ["receivers", "msgs"])
+
+    def f(m, r):
+        return edge_partitioned_segment_sum(m[0], r[0], N, "data")
+
+    got = jax.jit(jax.shard_map(f, mesh=mesh,
+                                in_specs=(P("data"), P("data")),
+                                out_specs=P(), check_vma=False))(
+        sharded["msgs"], sharded["receivers"])
+    expect = jax.ops.segment_sum(jnp.asarray(msgs),
+                                 jnp.asarray(receivers_m), num_segments=N)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-5,
+                               atol=1e-5)
