@@ -226,6 +226,9 @@ def batch_graphs(
         out.update(mb_in_edges=in_e, mb_in_mask=in_m, mb_edge_slot=in_s,
                    mb_out_edges=out_e, mb_out_mask=out_m, mb_out_slot=out_s)
 
+    out["in_degree"] = np.bincount(receivers.clip(0, N),
+                                   minlength=N + 1)[:N].astype(np.float32)
+
     # snorm_n = 1/sqrt(n) per node (reference s_norm collates, custom_collate.py:43-49)
     snorm = np.zeros((N, 1), dtype=np.float32)
     snorm[:n_tot, 0] = np.repeat(1.0 / np.sqrt(n_per.astype(np.float32)), n_per)
@@ -244,7 +247,7 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     """Wrap host arrays from :func:`batch_graphs` into a `GraphBatch` pytree."""
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
-              "mb_out_mask", "mb_out_slot", "csr_row_ptr"):
+              "mb_out_mask", "mb_out_slot", "csr_row_ptr", "in_degree"):
         if k in arrays:
             extras[k] = jnp.asarray(arrays[k])
     return GraphBatch(

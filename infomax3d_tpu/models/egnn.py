@@ -104,7 +104,7 @@ class EGNN(nn.Module):
                 name="node_wise_output_network")(h, mask=g.node_mask,
                                                  deterministic=deterministic)
         readout = graph_readout(h, g.node_graph, g.num_graphs,
-                                self.readout_aggregators)
+                                self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,
                   layers=self.readout_layers,

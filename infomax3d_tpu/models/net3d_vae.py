@@ -95,7 +95,7 @@ class Net3DAE(nn.Module):
                                               deterministic=deterministic)
 
         latent = graph_readout(h, g.node_graph, g.num_graphs,
-                               self.readout_aggregators)
+                               self.readout_aggregators, sizes=g.n_nodes)
 
         for i in range(self.decoder_depth):
             h, e = Net3DLayer(hidden_dim=self.hidden_dim,

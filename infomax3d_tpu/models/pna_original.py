@@ -187,7 +187,7 @@ class PNAOriginal(nn.Module):
                 _, h_t = gru(h, h_t)
             h = h_t
         readout = graph_readout(h, g.node_graph, g.num_graphs,
-                                self.readout_aggregators)
+                                self.readout_aggregators, sizes=g.n_nodes)
         out = MLPReadout(self.last_layer_dim * len(self.readout_aggregators),
                          self.target_dim, name="output")(readout)
         if return_nodes:
@@ -267,7 +267,7 @@ class PNAOriginalSimple(nn.Module):
                 posttrans_layers=self.posttrans_layers,
                 name=f"layer_{i}")(g, h, deterministic=deterministic)
         readout = graph_readout(h, g.node_graph, g.num_graphs,
-                                self.readout_aggregators)
+                                self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,
                   layers=self.readout_layers,

@@ -176,7 +176,7 @@ class PNATransformer(nn.Module):
                 jnp.concatenate([h_sparse, h_dense], axis=-1),
                 mask=g.node_mask, deterministic=deterministic)
         readout = graph_readout(h, g.node_graph, g.num_graphs,
-                                self.readout_aggregators)
+                                self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,
                   layers=self.readout_layers,

@@ -224,10 +224,15 @@ def edge_aggregate(g, messages, op: str):
         fn = mailbox_sum if op == "sum" else mailbox_mean
         return fn(messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],
                   g.extras["mb_in_mask"])
-    from infomax3d_tpu.ops.segment import segment_mean, segment_sum
+    from infomax3d_tpu.ops.segment import segment_sum
+    s = segment_sum(messages, g.receivers, g.num_nodes)
     if op == "sum":
-        return segment_sum(messages, g.receivers, g.num_nodes)
-    return segment_mean(messages, g.receivers, g.num_nodes)
+        return s
+    deg = g.extras.get("in_degree")
+    if deg is None:
+        from infomax3d_tpu.ops.segment import degree
+        deg = degree(g.receivers, g.num_nodes)
+    return s / jnp.maximum(deg, 1.0)[:, None]
 
 
 def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
@@ -243,7 +248,8 @@ def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
             g.extras["mb_in_mask"], aggregators, scalers, avg_d_log)
     from infomax3d_tpu.ops.segment import pna_multi_aggregate
     return pna_multi_aggregate(messages, g.receivers, g.num_nodes,
-                               aggregators, scalers, avg_d_log)
+                               aggregators, scalers, avg_d_log,
+                               deg=g.extras.get("in_degree"))
 
 
 def gather_src(g, h):
