@@ -33,3 +33,7 @@ __all__ = [
     "MLP", "FCLayer", "MLPReadout", "MaskedBatchNorm", "AtomEncoder",
     "BondEncoder", "PNA", "PNAGNN", "PNALayer", "Net3D", "Net3DLayer",
 ]
+from infomax3d_tpu.models.random_variants import (  # noqa: E402
+    GeomolGNNWrapperOGBFeatRandomNonShared, OGBGNNRandom, PNAOriginalRandom,
+    PNAOriginalSimpleRandom, PNARandomEdgeUpdate,
+)
