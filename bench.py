@@ -59,10 +59,14 @@ def main():
     n_tot = sum(m["node_feat"].shape[0] for m in mols2)
     e2 = sum(m["senders"].shape[0] for m in mols2)
     e3 = sum(m["senders"].shape[0] for m in mols3)
-    # measured on v5e: XLA scatter path 37 ms/step, dense-mailbox path 50 ms
-    # (mailbox materialization costs more than the scatters it removes) —
-    # scatter stays the default; the Pallas fused kernel is the fast path
-    b2 = BucketSpec(B, ((n_tot + 255) // 256) * 256, ((e2 + 511) // 512) * 512)
+    # measured on v5e (batch 500): XLA scatter path 36 ms/step, dense
+    # mailbox 50 ms, csr-Pallas 27 ms — the fused CSR kernel (ops/pallas/
+    # spmm.py) is the default for the sparse 2D graphs.  The 3D complete
+    # graphs stay on scatters: hidden_dim 20 pads to a 128 lane tile, so the
+    # kernel wastes 6.4x DMA there and measures slower.
+    _maxdeg2 = max(int(np.bincount(m["receivers"]).max()) for m in mols2)
+    b2 = BucketSpec(B, ((n_tot + 255) // 256) * 256, ((e2 + 511) // 512) * 512,
+                    max_deg=_maxdeg2, csr=True)
     b3 = BucketSpec(B, b2.n_nodes, ((e3 + 2047) // 2048) * 2048)
     g2 = to_graph_batch(batch_graphs(mols2, b2))
     g3 = to_graph_batch(batch_graphs(mols3, b3))

@@ -15,10 +15,15 @@ Kernel shape:
   - incidence [TN, WIN] built by comparing a window iota against the tile's
     per-node row offsets,
   - sum / sumsq ride the MXU as incidence @ window,
-  - max / min reduce the window in CH-edge chunks on the VPU, tracking the
-    arg edge ids for the scatter-free backward,
+  - max / min: K per-slot one-hot matmuls gather the mailbox rows on the
+    MXU (DEFAULT precision), then a K-deep masked VPU running reduce,
   - backward (custom VJP, plain XLA): gathers of the cotangents through
-    `receivers` + argmax/argmin compare — no scatter anywhere.
+    `receivers` + max/min equality compare — no scatter anywhere.
+
+Contract: every node's true in-degree must be <= max_deg (the batcher's
+csr buckets guarantee this); edges beyond slot max_deg would be silently
+dropped from max/min.  On TPU the max/min VALUES are bf16-rounded (DEFAULT
+MXU precision selection); sum/sumsq are exact (HIGHEST).
 """
 from __future__ import annotations
 
@@ -33,12 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from infomax3d_tpu.ops.segment import EPS
 
+
 NEG_BIG = -3.0e38
 POS_BIG = 3.0e38
 
 
 def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
-            min_ref, win_ref, sem, *, TN, DC, WIN, CH, E):
+            min_ref, win_ref, sem, *, TN, DC, WIN, K, E):
     i = pl.program_id(0)
     j = pl.program_id(1)
     n0 = i * TN
@@ -59,20 +65,29 @@ def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
 
     copy.wait()
     win = win_ref[:]                                           # [WIN, DC]
-    sum_ref[:] = jnp.dot(incf, win, preferred_element_type=jnp.float32)
+    # HIGHEST: keep sum/sumsq exact (mean/std cancellation is sensitive)
+    sum_ref[:] = jnp.dot(incf, win, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     sumsq_ref[:] = jnp.dot(incf, win * win,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
+    # max/min via per-slot one-hot matmuls: slot s of node n is window row
+    # starts[n] + s.  K small MXU matmuls replace the old dense VPU masking
+    # of the whole window (2 * TN * WIN * DC select+cmp ops, ~deg/WIN-fold
+    # redundant); the MXU does the gather, the VPU only reduces K-deep.
     run_max = jnp.full((TN, DC), NEG_BIG, jnp.float32)
     run_min = jnp.full((TN, DC), POS_BIG, jnp.float32)
-    for c in range(WIN // CH):
-        blk = win[c * CH:(c + 1) * CH, :]                      # [CH, DC]
-        # int32 mask: Mosaic can't insert a minor dim on 1-bit vectors
-        m = inc[:, c * CH:(c + 1) * CH].astype(jnp.int32)      # [TN, CH]
-        cand = jnp.where(m[:, :, None] > 0, blk[None, :, :], NEG_BIG)
-        run_max = jnp.maximum(run_max, jnp.max(cand, axis=1))
-        cand_mn = jnp.where(m[:, :, None] > 0, blk[None, :, :], POS_BIG)
-        run_min = jnp.minimum(run_min, jnp.min(cand_mn, axis=1))
+    for s in range(K):
+        tgt = starts + s                                       # [TN]
+        has = (tgt < ends).astype(jnp.int32)[:, None]          # [TN, 1]
+        onehot = (eidx == tgt[:, None]).astype(jnp.float32)    # [TN, WIN]
+        # DEFAULT precision: the MXU rounds window values to bf16; the
+        # selected max/min are bf16-rounded and the VJP compares against
+        # bf16-rounded messages (exact routing, see _bwd)
+        row = jnp.dot(onehot, win, preferred_element_type=jnp.float32)
+        run_max = jnp.where(has > 0, jnp.maximum(run_max, row), run_max)
+        run_min = jnp.where(has > 0, jnp.minimum(run_min, row), run_min)
 
     deg = (ends - starts)[:, None]
     max_ref[:] = jnp.where(deg > 0, run_max, 0.0)
@@ -84,10 +99,9 @@ def _csr_reduce_raw(messages, row_ptr, max_deg: int, interpret: bool):
     """Returns (sum, sumsq, max, min), each [N, D]."""
     E, D = messages.shape
     N = row_ptr.shape[0] - 1
-    TN = 32
+    TN = 64
     DC = min(256, max(128, ((D + 127) // 128) * 128))
     WIN = max(((TN * max_deg + 8 + 127) // 128) * 128, 128)
-    CH = min(32, WIN)
     if D % DC:
         messages = jnp.pad(messages, ((0, 0), (0, DC - D % DC)))
     if E < WIN:
@@ -111,7 +125,7 @@ def _csr_reduce_raw(messages, row_ptr, max_deg: int, interpret: bool):
         scratch_shapes=[pltpu.VMEM((WIN, DC), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )
-    kernel = functools.partial(_kernel, TN=TN, DC=DC, WIN=WIN, CH=CH, E=Ep)
+    kernel = functools.partial(_kernel, TN=TN, DC=DC, WIN=WIN, K=max_deg, E=Ep)
     outs = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
                           interpret=interpret)(row_ptr, messages)
     return tuple(o[:N, :D] for o in outs)
@@ -138,11 +152,19 @@ def _bwd(max_deg, interpret, res, cots):
     d_msg = jnp.take(d_s, recv, axis=0)
     d_msg = d_msg + 2.0 * messages * jnp.take(d_s2, recv, axis=0)
     # equality routing (matches jax segment_max/min vjp semantics; padded
-    # rows have max/min forced to 0 but are masked below)
+    # rows have max/min forced to 0 but are masked below).  The kernel's
+    # slot-selection matmul runs at DEFAULT MXU precision, so the returned
+    # max/min are bf16-rounded — compare bf16-rounded messages for exact
+    # routing (near-ties within bf16 resolution all receive the cotangent,
+    # the "all ties get gradient" semantics XLA uses for exact ties)
+    # (interpret mode computes exact matmuls, so accept either equality)
+    msg_r = messages.astype(jnp.bfloat16).astype(jnp.float32)
+    mx_e = jnp.take(mx, recv, axis=0)
+    mn_e = jnp.take(mn, recv, axis=0)
     d_msg = d_msg + jnp.take(d_mx, recv, axis=0) * \
-        (messages == jnp.take(mx, recv, axis=0))
+        ((msg_r == mx_e) | (messages == mx_e))
     d_msg = d_msg + jnp.take(d_mn, recv, axis=0) * \
-        (messages == jnp.take(mn, recv, axis=0))
+        ((msg_r == mn_e) | (messages == mn_e))
     valid = (receivers < N)[:, None]
     return jnp.where(valid, d_msg, 0.0), None, None
 
@@ -199,14 +221,84 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
     return h
 
 
+def _sum_kernel(row_ptr_ref, msg_hbm, sum_ref, win_ref, sem,
+                *, TN, DC, WIN, E, exact=True):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n0 = i * TN
+    base = jnp.minimum(row_ptr_ref[n0], E - WIN)
+    base = pl.multiple_of((base // 8) * 8, 8)
+    copy = pltpu.make_async_copy(
+        msg_hbm.at[pl.ds(base, WIN), pl.ds(j * DC, DC)], win_ref, sem)
+    copy.start()
+    starts = jnp.stack([row_ptr_ref[n0 + k] for k in range(TN)]) - base
+    ends = jnp.stack([row_ptr_ref[n0 + k + 1] for k in range(TN)]) - base
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (TN, WIN), 1)
+    incf = ((eidx >= starts[:, None]) &
+            (eidx < ends[:, None])).astype(jnp.float32)
+    copy.wait()
+    sum_ref[:] = jnp.dot(incf, win_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=(jax.lax.Precision.HIGHEST if exact
+                                    else jax.lax.Precision.DEFAULT))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _csr_sum_raw(messages, row_ptr, max_deg: int, interpret: bool,
+                 exact: bool = True):
+    E, D = messages.shape
+    N = row_ptr.shape[0] - 1
+    TN = 64
+    DC = min(256, max(128, ((D + 127) // 128) * 128))
+    WIN = max(((TN * max_deg + 8 + 127) // 128) * 128, 128)
+    if D % DC:
+        messages = jnp.pad(messages, ((0, 0), (0, DC - D % DC)))
+    if E < WIN:
+        messages = jnp.pad(messages, ((0, WIN - E), (0, 0)))
+    Ep, Dp = messages.shape
+    if N % TN:
+        row_ptr = jnp.concatenate(
+            [row_ptr, jnp.full(TN - N % TN, row_ptr[-1], row_ptr.dtype)])
+    Np = row_ptr.shape[0] - 1
+    grid = (Np // TN, Dp // DC)
+    out_spec = pl.BlockSpec((TN, DC), lambda i, j, *_: (i, j),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((WIN, DC), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    kernel = functools.partial(_sum_kernel, TN=TN, DC=DC, WIN=WIN, E=Ep,
+                               exact=exact)
+    out = pl.pallas_call(kernel,
+                         out_shape=jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
+                         grid_spec=grid_spec, interpret=interpret)(
+        row_ptr, messages)
+    return out[:N, :D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def csr_sum(messages, row_ptr, receivers, max_deg: int, interpret=False):
-    s1, _, _, _ = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
-                                   interpret)
-    return s1
+    """Sum-only fused kernel (skips sumsq and the K slot matmuls)."""
+    return _csr_sum_raw(messages, row_ptr, max_deg, interpret)
+
+
+def _sum_fwd(messages, row_ptr, receivers, max_deg, interpret):
+    return _csr_sum_raw(messages, row_ptr, max_deg, interpret), receivers
+
+
+def _sum_bwd(max_deg, interpret, receivers, d_s):
+    N = d_s.shape[0]
+    d_msg = jnp.take(d_s, receivers.clip(0, N - 1), axis=0)
+    return jnp.where((receivers < N)[:, None], d_msg, 0.0), None, None
+
+
+csr_sum.defvjp(_sum_fwd, _sum_bwd)
 
 
 def csr_mean(messages, row_ptr, receivers, max_deg: int, interpret=False):
-    s1, _, _, _ = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
-                                   interpret)
+    s1 = csr_sum(messages, row_ptr, receivers, max_deg, interpret)
     deg = (row_ptr[1:] - row_ptr[:-1]).astype(messages.dtype)[:, None]
     return s1 / jnp.maximum(deg, 1.0)
