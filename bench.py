@@ -32,7 +32,8 @@ def main():
     from infomax3d_tpu.data.synthetic import SyntheticMolecules
     from infomax3d_tpu.graphs.batch import BucketSpec, batch_graphs, to_graph_batch
     from infomax3d_tpu.losses import LOSS_REGISTRY
-    from infomax3d_tpu.models import PNA, Net3D
+    from infomax3d_tpu.graphs.dense import dense_batch, to_dense_batch
+    from infomax3d_tpu.models import PNA, Net3DDense
     from infomax3d_tpu.train.optim import GroupedOptimizer, label_params
 
     # pre-train_QM9.yml architecture (configs_clean/pre-train_QM9.yml)
@@ -45,7 +46,7 @@ def main():
               batch_norm_momentum=0.93, readout_hidden_dim=200,
               propagation_depth=7, readout_layers=2, pretrans_layers=2,
               posttrans_layers=1)
-    net3d = Net3D(hidden_dim=20, target_dim=256,
+    net3d = Net3DDense(hidden_dim=20, target_dim=256,
                   readout_aggregators=["min", "max", "mean"], batch_norm=True,
                   readout_batchnorm=True, batch_norm_momentum=0.93,
                   readout_hidden_dim=20, node_wise_output_layers=0,
@@ -60,16 +61,17 @@ def main():
     e2 = sum(m["senders"].shape[0] for m in mols2)
     e3 = sum(m["senders"].shape[0] for m in mols3)
     # measured on v5e (batch 500): XLA scatter path 36 ms/step, dense
-    # mailbox 50 ms, csr-Pallas 27 ms — the fused CSR kernel (ops/pallas/
-    # spmm.py) is the default for the sparse 2D graphs.  The 3D complete
-    # graphs stay on scatters: hidden_dim 20 pads to a 128 lane tile, so the
-    # kernel wastes 6.4x DMA there and measures slower.
+    # mailbox 50 ms, csr-Pallas 2D 27 ms, + dense 3D — the fused CSR kernel
+    # (ops/pallas/spmm.py) is the default for the sparse 2D graphs, and the
+    # 3D complete graphs use the dense per-graph layout (Net3DDense): their
+    # edge set is [n, n] minus the diagonal, so aggregation is a masked
+    # reduce — no scatters, no 128-lane padding waste at hidden_dim 20.
     _maxdeg2 = max(int(np.bincount(m["receivers"]).max()) for m in mols2)
     b2 = BucketSpec(B, ((n_tot + 255) // 256) * 256, ((e2 + 511) // 512) * 512,
                     max_deg=_maxdeg2, csr=True)
-    b3 = BucketSpec(B, b2.n_nodes, ((e3 + 2047) // 2048) * 2048)
     g2 = to_graph_batch(batch_graphs(mols2, b2))
-    g3 = to_graph_batch(batch_graphs(mols3, b3))
+    nmax3 = max(m["node_feat"].shape[0] for m in mols3)
+    g3 = to_dense_batch(dense_batch(mols3, B, nmax3, with_edges=False))
 
     rng = jax.random.key(0)
     v2 = pna.init(rng, g2, deterministic=True)

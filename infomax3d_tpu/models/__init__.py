@@ -3,11 +3,12 @@ from infomax3d_tpu.models.base import (
     MLP, FCLayer, MLPReadout, MaskedBatchNorm, AtomEncoder, BondEncoder,
 )
 from infomax3d_tpu.models.pna import PNA, PNAGNN, PNALayer
-from infomax3d_tpu.models.net3d import Net3D, Net3DLayer
+from infomax3d_tpu.models.net3d import Net3D, Net3DDense, Net3DLayer
 
 register_model("PNA")(PNA)
 register_model("PNAGNN")(PNAGNN)
 register_model("Net3D")(Net3D)
+register_model("Net3DDense")(Net3DDense)
 
 from infomax3d_tpu.models.byol import BYOLWrapper, Critic  # noqa: E402
 from infomax3d_tpu.models.gin import OGBGNN  # noqa: E402

@@ -12,12 +12,13 @@ def fourier_encode_dist(x: jnp.ndarray, num_encodings: int = 4,
     the Net3D encoder applies to edge distances: x/2^k for k in [0,
     num_encodings), sin & cos, optionally appending the raw distance.
 
-    Input [E] (or [E, 1]) -> output [E, 2*num_encodings (+1)].
+    Input [..., ] (trailing scalar per edge; a final size-1 axis is also
+    accepted) -> output [..., 2*num_encodings (+1)].
     """
-    if x.ndim == 1:
-        x = x[:, None]
+    if x.shape[-1] != 1:
+        x = x[..., None]
     scales = 2.0 ** jnp.arange(num_encodings, dtype=x.dtype)
-    scaled = x / scales                                     # [E, K]
+    scaled = x / scales                                     # [..., K]
     out = jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
     if include_self:
         out = jnp.concatenate([out, x], axis=-1)
