@@ -58,6 +58,10 @@ DEFAULTS: Dict[str, Any] = dict(
     num_epochs_local_only=1,
     required_data=[],
     collate_function="graph_collate",
+    # TPU fast-path knobs (not in the reference CLI): see
+    # cli/train.py::resolve_fast_paths
+    csr_buckets="auto",
+    dense_3d="auto",
     collate_params={},
     use_e_features=True,
     targets=[],

@@ -125,6 +125,35 @@ def build_dataset(args: Dict[str, Any]):
     raise KeyError(f"unknown dataset '{name}'")
 
 
+def resolve_fast_paths(args: Dict[str, Any]) -> None:
+    """Resolve the TPU fast-path knobs once (consumed by build_models and
+    make_loaders):
+
+    * ``csr_buckets``: 'auto' | True | False — receiver-sorted CSR buckets
+      engage the Pallas fused aggregation kernel (ops/pallas/spmm.py) for
+      flat-graph collates.  'auto' = on for non-CPU backends.
+    * ``dense_3d``: 'auto' | True | False — the 3D contrastive side uses the
+      dense complete-graph layout + Net3DDense (scatter-free; parameters are
+      interchangeable with Net3D).  'auto' = on for non-CPU backends when
+      model3d_type is Net3D and the collate is contrastive_collate.
+    """
+    import jax
+    on_accel = jax.default_backend() != "cpu"
+    csr = args.get("csr_buckets", "auto")
+    flat_collates = {
+        "graph_collate", "graph_only_collate", "contrastive_collate",
+        "contrastive_collate_ae", "conformer_collate", "graphcl_collate",
+        "node_drop_3d_collate", "node_drop_2d3d_collate",
+        "noised_distances_collate", "noised_coordinates_collate",
+    }
+    args["_csr"] = (csr is True or (csr == "auto" and on_accel)) and \
+        args.get("collate_function") in flat_collates
+    d3 = args.get("dense_3d", "auto")
+    eligible = (args.get("model3d_type") in ("Net3D", "Net3DDense") and
+                args.get("collate_function") == "contrastive_collate")
+    args["_dense_3d"] = (d3 is True or (d3 == "auto" and on_accel)) and eligible
+
+
 def build_models(args: Dict[str, Any]) -> Dict[str, Any]:
     from infomax3d_tpu.models import get_model_class
     models: Dict[str, Any] = {}
@@ -146,7 +175,10 @@ def build_models(args: Dict[str, Any]) -> Dict[str, Any]:
             models["model3d"] = BYOLWrapper(model_type=args["model3d_type"],
                                             model_parameters=mp3)
         else:
-            models["model3d"] = get_model_class(args["model3d_type"])(**mp3)
+            m3_type = args["model3d_type"]
+            if args.get("_dense_3d") and m3_type == "Net3D":
+                m3_type = "Net3DDense"       # parameter-compatible fast path
+            models["model3d"] = get_model_class(m3_type)(**mp3)
     if args.get("critic_type"):
         cp = dict(args.get("critic_parameters") or {})
         models["critic"] = get_model_class(args["critic_type"])(**cp)
@@ -227,7 +259,11 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
     n_cap = int(np.ceil(bs * mean_nodes * 1.25 / 256) * 256) + max_n
     e2_cap = int(np.ceil(bs * float(dataset.edge_counts().mean()) * 1.3 / 512) * 512)
     e3_cap = int(np.ceil(bs * float((nodes * (nodes - 1)).mean()) * 1.35 / 2048) * 2048)
-    bucket = BucketSpec(bs, n_cap, e2_cap)
+    if args.get("_csr") and hasattr(dataset, "max_in_degree"):
+        bucket = BucketSpec(bs, n_cap, e2_cap,
+                            max_deg=int(dataset.max_in_degree()), csr=True)
+    else:
+        bucket = BucketSpec(bs, n_cap, e2_cap)
     bucket3d = BucketSpec(bs, n_cap, e3_cap)
 
     collate = args["collate_function"]
@@ -239,6 +275,9 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
         ckw.setdefault("bucket3d", BucketSpec(bs * C, n_cap * C, e3_cap * C))
     elif contrastive or collate == "pairwise_distance_collate":
         ckw.setdefault("bucket3d", bucket3d)
+    if args.get("_dense_3d") and collate == "contrastive_collate":
+        ckw.setdefault("dense_3d", True)
+        ckw.setdefault("max_nodes3d", max_n)
     if collate in ("san_collate", "padded_collate_positional_encoding"):
         ckw.setdefault("max_nodes", max(args["max_nodes"], max_n))
     n_shards = args.get("n_shards", 1)
@@ -263,6 +302,7 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
 
     dataset = build_dataset(args)
     metrics = build_metrics(args, dataset)
+    resolve_fast_paths(args)
     models = build_models(args)
 
     mesh = None

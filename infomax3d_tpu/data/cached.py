@@ -70,6 +70,17 @@ class CachedMoleculeDataset:
     def edge_counts(self) -> np.ndarray:
         return np.diff(self.edge_slices)
 
+    def max_in_degree(self) -> int:
+        """Exact max receiver degree over the 2D bond graphs — the Pallas
+        CSR kernel's max_deg contract (ops/pallas/spmm.py)."""
+        recv = self.edge_indices[1].astype(np.int64)
+        offsets = np.repeat(self.atom_slices[:-1].astype(np.int64),
+                            np.diff(self.edge_slices))
+        glob = recv + offsets
+        if len(glob) == 0:
+            return 1
+        return max(int(np.bincount(glob).max()), 1)
+
     def graph2d(self, i: int) -> Dict[str, np.ndarray]:
         a0, a1 = int(self.atom_slices[i]), int(self.atom_slices[i + 1])
         e0, e1 = int(self.edge_slices[i]), int(self.edge_slices[i + 1])
@@ -157,6 +168,11 @@ class SyntheticDataset:
 
     def edge_counts(self):
         return np.array([m["senders"].shape[0] for m in self.ds.mols])
+
+    def max_in_degree(self) -> int:
+        degs = [int(np.bincount(m["receivers"]).max()) if len(m["receivers"])
+                else 1 for m in self.ds.mols]
+        return max(max(degs), 1)
 
     def __getitem__(self, i: int) -> Dict:
         item: Dict = {"graph2d": self.ds.graph2d(i),

@@ -70,9 +70,14 @@ def graph_only_collate(items: Sequence[Dict], bucket: BucketSpec):
 
 @register_collate("contrastive_collate")
 def contrastive_collate(items: Sequence[Dict], bucket: BucketSpec,
-                        bucket3d: Optional[BucketSpec] = None):
+                        bucket3d: Optional[BucketSpec] = None,
+                        dense_3d: bool = False,
+                        max_nodes3d: Optional[int] = None):
     """[2D graphs], [3D complete graphs], optional targets
-    (custom_collate.py:105-114)."""
+    (custom_collate.py:105-114).
+
+    ``dense_3d=True`` emits the 3D side as a `DenseGraphBatch` (coords only)
+    for the scatter-free Net3DDense path."""
     if "targets" in items[0]:
         g2 = batch_graphs([dict(it["graph2d"], targets=it["targets"])
                            for it in items], bucket, extras_keys=["targets"])
@@ -81,6 +86,13 @@ def contrastive_collate(items: Sequence[Dict], bucket: BucketSpec,
     else:
         g2 = batch_graphs([it["graph2d"] for it in items], bucket)
         g2b = to_graph_batch(g2)
+    if dense_3d:
+        from infomax3d_tpu.graphs.dense import dense_batch, to_dense_batch
+        mols3 = [it["graph3d"] for it in items]
+        nmax = max_nodes3d or max(m["node_feat"].shape[0] for m in mols3)
+        g3d = to_dense_batch(dense_batch(mols3, bucket.n_graphs, nmax,
+                                         with_edges=False))
+        return {"graph2d": g2b, "graph3d": g3d}
     b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
                                 _complete_edge_cap(items))
     g3 = batch_graphs([it["graph3d"] for it in items], b3)
