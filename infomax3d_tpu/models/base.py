@@ -120,9 +120,48 @@ class MaskedBatchNorm(nn.Module):
         return y * scale + bias
 
 
+class SplitDense(nn.Module):
+    """Drop-in for ``nn.Dense`` applied to a CONCATENATION of parts, without
+    materializing the concat: y = sum_i part_i @ kernel[o_i:o_i+d_i] + b.
+    Parameter tree ({kernel, bias}) is identical to nn.Dense, so checkpoints
+    interchange.  A part may also be a lazy ``(nodes, idx)`` pair meaning
+    ``take(nodes, idx)`` — then the projection runs in NODE space first
+    (``take(nodes @ K) == take(nodes) @ K`` row-for-row) which halves the
+    matmul rows for graph gathers (E vs N)."""
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, parts):
+        def _dim(p):
+            return (p[0] if isinstance(p, tuple) else p).shape[-1]
+        in_total = sum(_dim(p) for p in parts)
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_total, self.features))
+        y = None
+        o = 0
+        for p in parts:
+            d = _dim(p)
+            k = kernel[o:o + d]
+            if isinstance(p, tuple):
+                nodes, idx = p
+                t = jnp.take(nodes @ k, idx.clip(0, nodes.shape[0] - 1),
+                             axis=0)
+            else:
+                t = p @ k
+            y = t if y is None else y + t
+            o += d
+        if self.use_bias:
+            y = y + self.param("bias", self.bias_init, (self.features,))
+        return y
+
+
 class FCLayer(nn.Module):
     """Dense -> activation -> dropout -> batchnorm (reference FCLayer order,
-    models/base_layers.py:100-111)."""
+    models/base_layers.py:100-111).  Accepts a list of input parts (see
+    SplitDense) in place of a single array."""
     out_dim: int
     activation: Union[str, Callable, None] = "relu"
     dropout: float = 0.0
@@ -135,9 +174,15 @@ class FCLayer(nn.Module):
                  use_running_average: Optional[bool] = None):
         if use_running_average is None:
             use_running_average = deterministic
-        h = nn.Dense(self.out_dim, use_bias=self.bias,
-                     kernel_init=scaled_xavier_uniform(),
-                     bias_init=nn.initializers.zeros)(x)
+        if isinstance(x, (list, tuple)):
+            h = SplitDense(self.out_dim, use_bias=self.bias,
+                           kernel_init=scaled_xavier_uniform(),
+                           bias_init=nn.initializers.zeros,
+                           name="Dense_0")(x)
+        else:
+            h = nn.Dense(self.out_dim, use_bias=self.bias,
+                         kernel_init=scaled_xavier_uniform(),
+                         bias_init=nn.initializers.zeros)(x)
         h = get_activation(self.activation)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)

@@ -51,16 +51,23 @@ class PNALayer(nn.Module):
         N = h.shape[0]
         residual = self.residual and (self.in_dim == self.out_dim)
 
-        src = gather_src(g, h)
-        dst = gather_dst(g, h)
-        parts = [src, dst]
+        from infomax3d_tpu.ops.mailbox import has_csr, has_mailbox
+        if has_csr(g) or not has_mailbox(g):
+            # lazy (nodes, idx) parts: SplitDense projects h in NODE space
+            # then gathers — no [E, 3*D] concat materialized, and the src/dst
+            # matmul rows drop from E to N (exact: take(hK) == take(h)K)
+            parts = [(h, g.senders), (h, g.receivers)]
+        else:
+            # mailbox batches keep the explicit gathers (their custom VJP
+            # backward is a scatter-free mailbox sum)
+            parts = [gather_src(g, h), gather_dst(g, h)]
         if self.in_dim_edges > 0:
             parts.append(e)
         if self.pairwise_distances:
             xs = jnp.take(g.coords, g.senders.clip(0, N - 1), axis=0)
             xd = jnp.take(g.coords, g.receivers.clip(0, N - 1), axis=0)
             parts.append(jnp.sum((xs - xd) ** 2, axis=-1, keepdims=True))
-        z = jnp.concatenate(parts, axis=-1)
+        z = parts
 
         msg = MLP(out_dim=self.in_dim, hidden_size=self.in_dim,
                   layers=self.pretrans_layers, mid_activation=self.activation,
@@ -73,7 +80,7 @@ class PNALayer(nn.Module):
         agg = pna_aggregate(g, msg, self.aggregators, self.scalers,
                             self.avg_d_log)
 
-        h_cat = jnp.concatenate([h, agg], axis=-1)
+        h_cat = [h, agg]            # SplitDense: no [N, D+D*aggs] concat
         h_new = MLP(out_dim=self.out_dim, hidden_size=self.out_dim,
                     layers=self.posttrans_layers, mid_activation=self.activation,
                     last_activation=self.last_activation, dropout=self.dropout,

