@@ -46,9 +46,12 @@ class Net3DLayer(nn.Module):
     def __call__(self, g: GraphBatch, h: jnp.ndarray, e: jnp.ndarray,
                  deterministic: bool = True):
         N = h.shape[0]
-        src = gather_src(g, h)
-        dst = gather_dst(g, h)
-        z = jnp.concatenate([src, dst, e], axis=-1)
+        from infomax3d_tpu.ops.mailbox import has_csr, has_mailbox
+        if has_csr(g) or not has_mailbox(g):
+            # SplitDense lazy parts: node-space projection, no concat
+            z = [(h, g.senders), (h, g.receivers), e]
+        else:
+            z = [gather_src(g, h), gather_dst(g, h), e]
         message = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
                       layers=self.message_net_layers,
                       mid_activation=self.mid_activation,

@@ -55,7 +55,7 @@ class PNATower(nn.Module):
             xs = jnp.take(g.coords, g.senders.clip(0, N - 1), axis=0)
             xd = jnp.take(g.coords, g.receivers.clip(0, N - 1), axis=0)
             parts.append(jnp.linalg.norm(xs - xd, axis=-1, keepdims=True))
-        z = jnp.concatenate(parts, axis=-1)
+        z = parts                   # SplitDense: concat-free first Dense
         msg = MLP(out_dim=self.in_dim, hidden_size=self.in_dim,
                   layers=self.pretrans_layers, mid_activation="relu",
                   last_activation="none",
@@ -63,7 +63,7 @@ class PNATower(nn.Module):
                                    deterministic=deterministic)
         agg = pna_multi_aggregate_always_scaled(
             msg, g.receivers, N, self.aggregators, self.scalers, self.avg_d)
-        hc = jnp.concatenate([h, agg], axis=-1)
+        hc = [h, agg]               # SplitDense: concat-free first Dense
         out = MLP(out_dim=self.out_dim, hidden_size=self.out_dim,
                   layers=self.posttrans_layers, mid_activation="relu",
                   last_activation="none", mid_batch_norm=self.mid_batch_norm,
