@@ -13,10 +13,10 @@ register_model("Net3DDense")(Net3DDense)
 from infomax3d_tpu.models.byol import BYOLWrapper, Critic  # noqa: E402
 from infomax3d_tpu.models.gin import OGBGNN  # noqa: E402
 from infomax3d_tpu.models.egnn import EGNN  # noqa: E402
-from infomax3d_tpu.models.net3d_vae import Net3DAE  # noqa: E402
+from infomax3d_tpu.models.net3d_vae import Net3DAE, Net3DDistancePredictor  # noqa: E402
 from infomax3d_tpu.models.san import SAN  # noqa: E402
 from infomax3d_tpu.models.transformer import (  # noqa: E402
-    DistancePredictor, PNATransformer, TransformerPlain,
+    DistancePredictor, PNADistancePredictor, PNATransformer, TransformerPlain,
 )
 from infomax3d_tpu.models.pna_original import (  # noqa: E402
     PNAOriginal, PNAOriginalSimple,
@@ -38,3 +38,7 @@ from infomax3d_tpu.models.random_variants import (  # noqa: E402
     GeomolGNNWrapperOGBFeatRandomNonShared, OGBGNNRandom, PNAOriginalRandom,
     PNAOriginalSimpleRandom, PNARandomEdgeUpdate,
 )
+
+# reference configs name the critic 'BasicCritic' (models/legacy/basic_critic
+# upstream); alias to the active Critic implementation
+register_model("BasicCritic")(Critic)

@@ -128,3 +128,51 @@ class Net3DAE(nn.Module):
                 dst = jnp.take(h, g.receivers.clip(0, N - 1), axis=0)
             distances = jnp.linalg.norm(src - dst, axis=-1)
         return latent, distances
+
+
+@register_model("Net3DDistancePredictor")
+class Net3DDistancePredictor(nn.Module):
+    """Reference `models/net3d_distance_predictor.py:15-110` — structurally
+    Net3DAE with the reference's flat kwargs (propagation_depth = encoder
+    depth, optional decoder_depth); returns (latent readout, predicted
+    pairwise distances)."""
+    hidden_dim: int
+    readout_aggregators: Sequence[str]
+    batch_norm: bool = False
+    node_wise_encoder_layers: int = 0
+    node_wise_output_layers: int = 0
+    batch_norm_momentum: float = 0.1
+    reduce_func: str = "sum"
+    dropout: float = 0.0
+    propagation_depth: int = 4
+    decoder_depth: int = 0
+    projection_dim: int = 3
+    distance_net: bool = True
+    projection_layers: int = 1
+    fourier_encodings: int = 0
+    activation: str = "SiLU"
+    update_net_layers: int = 2
+    message_net_layers: int = 2
+    use_node_features: bool = False
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, deterministic: bool = True):
+        return Net3DAE(
+            hidden_dim=self.hidden_dim,
+            readout_aggregators=self.readout_aggregators,
+            batch_norm=self.batch_norm,
+            node_wise_encoder_layers=self.node_wise_encoder_layers,
+            node_wise_output_layers=self.node_wise_output_layers,
+            batch_norm_momentum=self.batch_norm_momentum,
+            reduce_func=self.reduce_func, dropout=self.dropout,
+            encoder_depth=self.propagation_depth,
+            decoder_depth=self.decoder_depth,
+            projection_dim=self.projection_dim,
+            distance_net=self.distance_net,
+            projection_layers=self.projection_layers,
+            fourier_encodings=self.fourier_encodings,
+            activation=self.activation,
+            update_net_layers=self.update_net_layers,
+            message_net_layers=self.message_net_layers,
+            use_node_features=self.use_node_features,
+            name="net")(g, deterministic=deterministic)

@@ -241,3 +241,55 @@ class DistancePredictor(nn.Module):
                      mask=pair_graph.edge_mask, deterministic=deterministic)
             return jax.nn.softplus(fwd + bwd)
         return jnp.linalg.norm(src - dst, axis=-1)[:, None]
+
+
+@register_model("PNADistancePredictor")
+class PNADistancePredictor(nn.Module):
+    """Reference `models/pna_distance_predictor.py:16-80`: a 2D PNAGNN whose
+    node embeddings predict pairwise distances through a symmetrized
+    softplus distance net (always on in the reference) — the flat-kwarg
+    sibling of :class:`DistancePredictor` without the transformer layer."""
+    hidden_dim: int
+    aggregators: Sequence[str]
+    scalers: Sequence[str]
+    target_dim: int = 1
+    readout_aggregators: Sequence[str] = ("mean",)
+    residual: bool = True
+    pairwise_distances: bool = False
+    activation: str = "relu"
+    last_activation: str = "none"
+    mid_batch_norm: bool = False
+    last_batch_norm: bool = False
+    propagation_depth: int = 5
+    dropout: float = 0.0
+    projection_layers: int = 2
+    projection_dim: int = 3
+    posttrans_layers: int = 1
+    pretrans_layers: int = 1
+    batch_norm_momentum: float = 0.1
+    readout_batchnorm: bool = True
+    readout_hidden_dim: Optional[int] = None
+    readout_layers: int = 2
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, pair_graph: GraphBatch,
+                 deterministic=True):
+        return DistancePredictor(
+            pna_args=dict(
+                hidden_dim=self.hidden_dim, aggregators=self.aggregators,
+                scalers=self.scalers, residual=self.residual,
+                pairwise_distances=self.pairwise_distances,
+                activation=self.activation,
+                last_activation=self.last_activation,
+                mid_batch_norm=self.mid_batch_norm,
+                last_batch_norm=self.last_batch_norm,
+                propagation_depth=self.propagation_depth,
+                dropout=self.dropout,
+                posttrans_layers=self.posttrans_layers,
+                pretrans_layers=self.pretrans_layers,
+                batch_norm_momentum=self.batch_norm_momentum),
+            target_dim=self.target_dim, distance_net=True,
+            projection_dim=self.projection_dim,
+            projection_layers=self.projection_layers,
+            transformer_layer=False,
+            name="predictor")(g, pair_graph, deterministic=deterministic)

@@ -73,3 +73,28 @@ def test_padding_invariance(model_case):
     flat_b = jax.tree_util.tree_leaves(mut_b)
     for xs, xb in zip(flat_s, flat_b):
         np.testing.assert_allclose(np.asarray(xs), np.asarray(xb), rtol=2e-4, atol=2e-4)
+
+
+def test_distance_predictor_registry_adapters():
+    """PNADistancePredictor / Net3DDistancePredictor resolve from configs by
+    the reference class names (pna_distance_predictor.py:16,
+    net3d_distance_predictor.py:15)."""
+    import jax.random as jr
+    from infomax3d_tpu.models import MODEL_REGISTRY
+    b2, b3 = build_batches()
+    m = MODEL_REGISTRY["PNADistancePredictor"](
+        hidden_dim=16, aggregators=["mean", "max"], scalers=["identity"],
+        propagation_depth=1)
+    vs = m.init(jr.key(0), b2, b3, deterministic=True)
+    d = m.apply(vs, b2, b3, deterministic=True, mutable=["batch_stats"])[0]
+    assert d.shape == (b3.num_edges, 1)
+    assert np.isfinite(np.asarray(d)[np.asarray(b3.edge_mask)]).all()
+
+    m2 = MODEL_REGISTRY["Net3DDistancePredictor"](
+        hidden_dim=16, readout_aggregators=["mean", "max"],
+        propagation_depth=1, fourier_encodings=4)
+    vs2 = m2.init(jr.key(0), b3, deterministic=True)
+    lat, dist = m2.apply(vs2, b3, deterministic=True,
+                         mutable=["batch_stats"])[0]
+    assert lat.shape == (b3.num_graphs, 32)
+    assert dist.shape == (b3.num_edges,)
