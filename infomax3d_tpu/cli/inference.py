@@ -20,18 +20,39 @@ from infomax3d_tpu.cli.train import build_dataset, build_models
 from infomax3d_tpu.utils.setup import enable_persistent_compilation_cache
 
 
-def smiles_dataset(path: str):
-    """SMILES txt -> OGB-featurized graphs (needs RDKit, host-side prep)."""
-    try:
-        from rdkit import Chem  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "RDKit is required to featurize SMILES on the fly; prebuild a "
-            "dataset cache instead (dataset_params.path) or install rdkit "
-            "in the data-prep environment.") from e
-    raise NotImplementedError(
-        "SMILES featurization pipeline ships with the preprocessing tools; "
-        "this environment has no RDKit so only cached datasets are served.")
+class SmilesDataset:
+    """SMILES txt -> OGB-featurized graphs on the fly (reference
+    InferenceDataset, datasets/inference_dataset.py:23-100).  Uses RDKit
+    when available, else the pure-Python kernel in data/chem.py."""
+
+    def __init__(self, path: str):
+        with open(path) as f:
+            self.smiles = [ln.strip() for ln in f if ln.strip()]
+        try:
+            from rdkit import Chem
+            from infomax3d_tpu.data.preprocess import mol_to_arrays
+
+            def featurize(s):
+                arr = mol_to_arrays(Chem.MolFromSmiles(s))
+                return dict(node_feat=arr["atom_features"],
+                            senders=arr["edge_index"][0].astype(np.int32),
+                            receivers=arr["edge_index"][1].astype(np.int32),
+                            edge_feat=arr["edge_features"])
+        except ImportError:
+            from infomax3d_tpu.data.chem import smiles_to_graph as featurize
+        self.graphs = [featurize(s) for s in self.smiles]
+
+    def __len__(self):
+        return len(self.graphs)
+
+    def node_counts(self):
+        return np.array([g["node_feat"].shape[0] for g in self.graphs])
+
+    def edge_counts(self):
+        return np.array([max(g["senders"].shape[0], 1) for g in self.graphs])
+
+    def __getitem__(self, i):
+        return {"graph2d": self.graphs[i]}
 
 
 def inference(args: Dict[str, Any]) -> np.ndarray:
@@ -41,7 +62,10 @@ def inference(args: Dict[str, Any]) -> np.ndarray:
     from infomax3d_tpu.graphs.batch import BucketSpec
 
     enable_persistent_compilation_cache()
-    dataset = build_dataset(args)
+    if args.get("smiles_txt_path") and os.path.exists(args["smiles_txt_path"]):
+        dataset = SmilesDataset(args["smiles_txt_path"])
+    else:
+        dataset = build_dataset(args)
     models = build_models(args)
     model = models["model"]
 
@@ -71,13 +95,18 @@ def inference(args: Dict[str, Any]) -> np.ndarray:
         z = fwd(variables, batch["graph"])
         mask = np.asarray(batch["graph"].graph_mask)
         chunks.append(np.asarray(z)[mask])
-    fingerprints = np.concatenate(chunks, axis=0)
-    out_dir = args.get("output_dir") or "dataset"
-    os.makedirs(out_dir, exist_ok=True)
-    out = os.path.join(out_dir, "fingerprints.npy")
+    fingerprints = np.concatenate(chunks, axis=0)[: len(dataset)]
+    out = args.get("output_path")
+    if not out:
+        out_dir = args.get("output_dir") or "dataset"
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, "fingerprints.npy")
     np.save(out, fingerprints)
     print(f"saved {fingerprints.shape} fingerprints to {out}")
     return fingerprints
+
+
+run_inference = inference   # public name used by tests/docs
 
 
 def main(argv=None):

@@ -50,6 +50,15 @@ class CachedMoleculeDataset:
         self.edge_slices = z["edge_slices"]
         self.coordinates = z["coordinates"] if "coordinates" in z else None
         self.targets = z["targets"].astype(np.float32) if "targets" in z else None
+        # optional stored split (OGB scaffold splits, pre-split sets like
+        # ZINC / the GeoMol fine-tune family): data/splits.py consumes this
+        self.split_indices = None
+        if "split_train" in z:
+            self.split_indices = {
+                "train": z["split_train"].astype(np.int64),
+                "valid": z["split_valid"].astype(np.int64),
+                "test": z["split_test"].astype(np.int64)}
+        self.cache_dir = os.path.dirname(path)
         self.num_conformers = num_conformers
         self.target_indices = list(target_indices) if target_indices else None
         if self.targets is not None and self.target_indices:
@@ -141,6 +150,36 @@ class QM9Dataset(CachedMoleculeDataset):
         self.ev2mev = np.array(
             [1000.0 if t in QM9_EV_TARGETS else 1.0 for t in target_tasks],
             dtype=np.float32)
+
+
+# GeoMol fine-tune family (reference datasets/{bace,bbbp,esol,lipo}_geomol*.py):
+# MoleculeNet property-prediction sets with GeoMol chemprop-style one-hot
+# featurization (float node/edge features, no AtomEncoder tables) or the
+# QM9-style OGB featurization, each with a precomputed scaffold (or random)
+# split.  The cache stores all three splits concatenated plus
+# split_train/valid/test index arrays; data/preprocess.py builds it.
+GEOMOL_SET_OGB_METRIC = {"bace": "ogbg-molbace", "bbbp": "ogbg-molbbbp",
+                         "esol": "ogbg-molesol", "lipo": "ogbg-mollipo"}
+
+
+class GeomolFineTuneDataset(CachedMoleculeDataset):
+    """bace/bbbp/esol/lipo with GeoMol or QM9-style featurization
+    (reference datasets/bace_geomol_feat.py:52-107 + 9 siblings).
+
+    `dataset_name` examples: bace_geomol, bbbp_geomol_random,
+    esol_geomol_qm9_featurization.  The reference evaluates these with the
+    matching OGB metric (`train.py:340-344`): `ogb_metric_name` carries it.
+    """
+
+    def __init__(self, path: str, dataset_name: str):
+        super().__init__(path)
+        if self.split_indices is None:
+            raise KeyError(f"{path} must store split_train/valid/test "
+                           f"(scaffold or random split, built by preprocess)")
+        self.dataset_name = dataset_name
+        base = dataset_name.split("_")[0]
+        self.ogb_metric_name = GEOMOL_SET_OGB_METRIC[base]
+        self.float_features = "qm9_featurization" not in dataset_name
 
 
 class SyntheticDataset:

@@ -31,6 +31,34 @@ from infomax3d_tpu.graphs.batch import (
 
 COLLATE_REGISTRY: Dict[str, Callable] = {}
 
+# Reference YAML collate names -> canonical registry names.  Several of the
+# reference's ~25 collates exist only because torch/DGL needed a different
+# host layout per model family (reference datasets/custom_collate.py); our
+# GraphBatch already carries what they add (snorm from n_nodes, pos_mask
+# from node_graph, flat<->dense exchange inside the hybrid models), so those
+# names alias onto the canonical collates that produce the same batches.
+COLLATE_ALIASES: Dict[str, str] = {
+    "NodeDropCollate": "graphcl_collate",            # custom_collate.py:254-282
+    "NodeDrop2dCollate": "graphcl_collate",          # :231-251
+    "NodeDrop3dCollate": "node_drop_3d_collate",     # :188-206
+    "NodeDrop2d3DCollate": "node_drop_2d3d_collate",  # :208-229
+    "NoisedDistancesCollate": "noised_distances_collate",    # :131-152
+    "NoisedCoordinatesCollate": "noised_coordinates_collate",  # :160-185
+    "pyg_and_dgl_graph_collate": "ot_collate",       # :30-34 (OT trainer)
+    "pytorch_geometric_collate": "graph_collate",    # :24-27
+    "pytorch_geometric2d_contrastive_collate": "contrastive_collate",  # :124-131
+    "pytorch_geometric3d_contrastive_collate": "contrastive_collate",  # :117-121
+    "contrastive_graphs_with_mask_collate": "contrastive_collate",  # :81-90
+    "contrastive_vae_collate": "contrastive_collate_ae",  # :52-62
+    "s_norm_graph_collate": "graph_collate",         # :43-49 (snorm in batch)
+    "s_norm_contrastive_collate": "contrastive_collate",  # :93-102
+    "pna_transformer_collate": "graph_collate",      # :361-370
+    "pna_transformer_collate_contrastive": "contrastive_collate",  # :373-382
+    "padded_collate": "egnn_padded_collate",         # :285-293
+    "egnn_padded_collate3d": "egnn_padded_collate",  # :296-320
+    "padded_distances_collate": "pairwise_distance_collate",  # :394-403
+}
+
 
 def register_collate(name):
     def deco(fn):
@@ -40,6 +68,7 @@ def register_collate(name):
 
 
 def get_collate(name: str):
+    name = COLLATE_ALIASES.get(name, name)
     if name not in COLLATE_REGISTRY:
         raise KeyError(f"unknown collate_function '{name}'; known: "
                        f"{sorted(COLLATE_REGISTRY)}")

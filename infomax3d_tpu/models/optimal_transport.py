@@ -44,6 +44,7 @@ BIG = 9e9
 class OptimalTransportModel(nn.Module):
     hyperparams: Dict[str, Any]
     gnn_params: Dict[str, Any]
+    gnn_model: str = "PNAGNNRandom"
     use_transformer: bool = True
     use_two_gnns: bool = True
 
@@ -60,9 +61,22 @@ class OptimalTransportModel(nn.Module):
         gp = dict(self.gnn_params)
         gp.setdefault("random_vec_dim", self.random_vec_dim)
         gp.setdefault("random_vec_std", self.random_vec_std)
-        self.gnn = PNAGNNRandom(**gp)
+        # backbone choice (reference OT config `gnn_model:` key resolved via
+        # globals(); explicit here).  Unknown kwargs like readout_batchnorm
+        # (swallowed by the reference's **kwargs) are filtered.
+        if self.gnn_model == "PNAGNNRandom":
+            gnn_cls = PNAGNNRandom
+        elif self.gnn_model == "PNAGNNRandomEdgeUpdate":
+            from infomax3d_tpu.models.random_variants import (
+                PNAGNNRandomEdgeUpdate as gnn_cls)
+        else:
+            raise KeyError(f"unknown OT gnn_model '{self.gnn_model}'")
+        import dataclasses
+        allowed = {f.name for f in dataclasses.fields(gnn_cls)}
+        gp = {k: v for k, v in gp.items() if k in allowed}
+        self.gnn = gnn_cls(**gp)
         if self.use_two_gnns:
-            self.gnn2 = PNAGNNRandom(**gp)
+            self.gnn2 = gnn_cls(**gp)
         self.use_gnn_output_mlp = gp["hidden_dim"] != self.hidden_dim
         if self.use_gnn_output_mlp:
             self.gnn_output_mlp = MLP(out_dim=self.hidden_dim, layers=1)

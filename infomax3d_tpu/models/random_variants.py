@@ -189,6 +189,64 @@ class PNALayerEdgeUpdate(nn.Module):
         return h_out, e_out
 
 
+@register_model("PNAGNNRandomEdgeUpdate")
+class PNAGNNRandomEdgeUpdate(nn.Module, _NoiseMixin):
+    """GNN-only edge-update variant (reference
+    pna_edge_update_random.py:57-117): full-width atom/bond encoders,
+    noise concatenated then GeomolMLP-projected back to hidden_dim, edge
+    state updated across layers.  Returns node embeddings (the OT conformer
+    model's backbone, `gnn_model: PNAGNNRandomEdgeUpdate` in
+    configs_clean/pre-train_Optimal_Transport_baseline.yml)."""
+    hidden_dim: int
+    aggregators: Sequence[str]
+    scalers: Sequence[str]
+    random_vec_dim: int = 10
+    random_vec_std: float = 1.0
+    residual: bool = True
+    activation: str = "relu"
+    last_activation: str = "none"
+    mid_batch_norm: bool = False
+    last_batch_norm: bool = False
+    propagation_depth: int = 5
+    dropout: float = 0.0
+    posttrans_layers: int = 1
+    pretrans_layers: int = 1
+    batch_norm_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, deterministic=True):
+        h = AtomEncoder(self.hidden_dim, name="atom_encoder")(g.node_feat)
+        e = BondEncoder(self.hidden_dim, name="bond_encoder")(g.edge_feat)
+        h = jnp.concatenate(
+            [h, self._noise((h.shape[0], self.random_vec_dim))], axis=-1)
+        e = jnp.concatenate(
+            [e, self._noise((e.shape[0], self.random_vec_dim))], axis=-1)
+        h = GeomolMLP(self.hidden_dim + self.random_vec_dim, self.hidden_dim,
+                      num_layers=2,
+                      batch_norm_momentum=self.batch_norm_momentum,
+                      name="node_init")(h, mask=g.node_mask,
+                                        deterministic=deterministic)
+        e = GeomolMLP(self.hidden_dim + self.random_vec_dim, self.hidden_dim,
+                      num_layers=2,
+                      batch_norm_momentum=self.batch_norm_momentum,
+                      name="edge_init")(e, mask=g.edge_mask,
+                                        deterministic=deterministic)
+        for i in range(self.propagation_depth):
+            h, e = PNALayerEdgeUpdate(
+                in_dim=self.hidden_dim, out_dim=self.hidden_dim,
+                aggregators=self.aggregators, scalers=self.scalers,
+                residual=self.residual, dropout=self.dropout,
+                activation=self.activation,
+                last_activation=self.last_activation,
+                mid_batch_norm=self.mid_batch_norm,
+                last_batch_norm=self.last_batch_norm,
+                posttrans_layers=self.posttrans_layers,
+                pretrans_layers=self.pretrans_layers,
+                batch_norm_momentum=self.batch_norm_momentum,
+                name=f"mp_{i}")(g, h, e, deterministic=deterministic)
+        return h
+
+
 @register_model("PNARandomEdgeUpdate")
 class PNARandomEdgeUpdate(nn.Module, _NoiseMixin):
     """Reference pna_edge_update_random.py:15-57."""

@@ -212,7 +212,12 @@ class DistancePredictor(nn.Module):
     @nn.compact
     def __call__(self, g: GraphBatch, pair_graph: GraphBatch,
                  deterministic=True):
-        h = PNAGNN(**self.pna_args, name="node_gnn")(g, deterministic=deterministic)
+        import dataclasses
+        allowed = {f.name for f in dataclasses.fields(PNAGNN)}
+        # reference configs pass full-PNA kwargs (readout_*) into pna_args;
+        # the reference PNAGNN swallows them via **kwargs — filter here
+        pna_args = {k: v for k, v in self.pna_args.items() if k in allowed}
+        h = PNAGNN(**pna_args, name="node_gnn")(g, deterministic=deterministic)
         if self.transformer_layer:
             dense = flat_to_dense(h, g, self.max_nodes)
             dmask = dense_node_mask(g, self.max_nodes)
