@@ -88,17 +88,35 @@ def main():
     loss_fn_obj = LOSS_REGISTRY["NTXent"](tau=0.1)
 
     import functools
+    import jax.numpy as jnp
+    from infomax3d_tpu.train.precision import cast_floats
+
+    # production precision recipe (train/precision.py): fp32 master params,
+    # bf16 network compute, fp32 NT-Xent — same as the trainer's bf16_compute
+    # 'auto' mode.  INFOMAX3D_BF16=0 opts out for A/B runs.
+    use_bf16 = (os.environ.get("INFOMAX3D_BF16", "1") != "0"
+                and jax.default_backend() != "cpu")
+    cdt = jnp.bfloat16 if use_bf16 else None
+
+    def _in(t):
+        return cast_floats(t, cdt) if cdt else t
+
+    def _out(t):
+        return cast_floats(t, jnp.float32) if cdt else t
+
+    g2c, g3c = _in(g2), _in(g3)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, stats, g2, g3):
         def lf(p):
-            z1, mut2 = pna.apply({"params": p["model"],
+            pc = _in(p)
+            z1, mut2 = pna.apply({"params": pc["model"],
                                   "batch_stats": stats["model"]}, g2,
                                  deterministic=False, mutable=["batch_stats"])
-            z2, mut3 = net3d.apply({"params": p["model3d"],
+            z2, mut3 = net3d.apply({"params": pc["model3d"],
                                     "batch_stats": stats["model3d"]}, g3,
                                    deterministic=False, mutable=["batch_stats"])
-            return loss_fn_obj(z1, z2), (mut2, mut3)
+            return loss_fn_obj(_out(z1), _out(z2)), (mut2, mut3)
 
         (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, opt_state2 = opt.update(grads, opt_state, params, lrs)
@@ -106,13 +124,13 @@ def main():
         return params2, opt_state2, loss
 
     # warmup/compile
-    params, opt_state, loss = step(params, opt_state, stats, g2, g3)
+    params, opt_state, loss = step(params, opt_state, stats, g2c, g3c)
     jax.block_until_ready(loss)
 
     n_iter = 30
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        params, opt_state, loss = step(params, opt_state, stats, g2, g3)
+        params, opt_state, loss = step(params, opt_state, stats, g2c, g3c)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / n_iter
 
@@ -120,17 +138,51 @@ def main():
     edges_per_s = edges_per_step / dt
     graphs_per_s = B / dt
 
-    prev = None
-    if os.path.exists(HIST):
+    # roofline: FLOPs of the compiled step vs chip peak (v5e bf16 ~197
+    # TFLOP/s, fp32-equivalent ~49).  cost_analysis flops are XLA's
+    # own estimate of the whole fwd+bwd+Adam step.
+    tflops = mfu_pct = None
+    try:
+        compiled = step.lower(params, opt_state, stats, g2c, g3c).compile()
+        fl = compiled.cost_analysis()
+        fl = fl[0] if isinstance(fl, (list, tuple)) else fl
+        flops = float(fl.get("flops", 0.0))
+        if flops > 0:
+            tflops = flops / dt / 1e12
+            peak = 197e12 if use_bf16 else 49e12
+            mfu_pct = 100.0 * flops / dt / peak
+    except Exception:
+        pass
+
+    # vs_baseline: ratio to the MEASURED reference (mounted torch code at the
+    # same shapes — tools/anchor_reference.py writes .baseline_anchor.json;
+    # CPU-only, no GPU in this environment: see BASELINE.md).  Falls back to
+    # the previous run of this bench when no anchor has been recorded.
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".baseline_anchor.json")
+    anchor = None
+    if os.path.exists(anchor_path):
         try:
-            prev = json.load(open(HIST)).get("edges_per_s")
+            anchor = json.load(open(anchor_path)).get("reference_edges_per_s")
         except Exception:
-            prev = None
-    vs_baseline = (edges_per_s / prev) if prev else 1.0
+            anchor = None
+    if anchor:
+        vs_baseline = edges_per_s / anchor
+        baseline_kind = "vs reference torch CPU (tools/anchor_reference.py)"
+    else:
+        prev = None
+        if os.path.exists(HIST):
+            try:
+                prev = json.load(open(HIST)).get("edges_per_s")
+            except Exception:
+                prev = None
+        vs_baseline = (edges_per_s / prev) if prev else 1.0
+        baseline_kind = "vs previous run"
     with open(HIST, "w") as f:
         json.dump({"edges_per_s": edges_per_s, "graphs_per_s": graphs_per_s,
                    "step_ms": dt * 1e3, "batch": B,
-                   "edges_per_step": edges_per_step,
+                   "edges_per_step": edges_per_step, "bf16": use_bf16,
+                   "tflops": tflops, "mfu_pct": mfu_pct,
                    "device": str(jax.devices()[0])}, f)
 
     print(json.dumps({
@@ -138,6 +190,11 @@ def main():
         "value": round(edges_per_s, 1),
         "unit": "edges/s (PNA200x7+Net3D fused train step, batch 500)",
         "vs_baseline": round(vs_baseline, 3),
+        "extra": {"graphs_per_s": round(graphs_per_s, 1),
+                  "step_ms": round(dt * 1e3, 2), "bf16": use_bf16,
+                  "tflops": None if tflops is None else round(tflops, 2),
+                  "mfu_pct": None if mfu_pct is None else round(mfu_pct, 2),
+                  "baseline_kind": baseline_kind},
     }))
 
 

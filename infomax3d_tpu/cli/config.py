@@ -62,6 +62,7 @@ DEFAULTS: Dict[str, Any] = dict(
     # cli/train.py::resolve_fast_paths
     csr_buckets="auto",
     dense_3d="auto",
+    bf16_compute="auto",
     collate_params={},
     use_e_features=True,
     targets=[],
@@ -83,6 +84,10 @@ DEFAULTS: Dict[str, Any] = dict(
     transfer_3d=False,
     # TPU-framework additions (absent keys in reference configs are fine)
     n_shards=1,
+    # edge-partitioned graph parallelism factor: the batch's edge set is
+    # split over a second 'graph' mesh axis inside the train step
+    # (parallel/edge_partition.py); total devices = n_shards * graph_shards
+    graph_shards=1,
     dataset_params={},
     max_nodes=40,
     use_tensorboard=True,

@@ -228,6 +228,14 @@ def resolve_fast_paths(args: Dict[str, Any]) -> None:
     """
     import jax
     on_accel = jax.default_backend() != "cpu"
+    if args.get("graph_shards", 1) > 1:
+        # edge-partitioned mode shards the FLAT edge arrays inside the step
+        # (parallel/edge_partition.py drops csr/mailbox extras at trace
+        # time) and Net3DDense's [G, M, M] layout has no flat edge axis —
+        # keep both fast paths off so every model runs the XLA segment path
+        # that carries the psum completion
+        args["csr_buckets"] = False
+        args["dense_3d"] = False
     csr = args.get("csr_buckets", "auto")
     flat_collates = {
         "graph_collate", "graph_only_collate", "contrastive_collate",
@@ -478,9 +486,21 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
     models = build_models(args, dataset)
 
     mesh = None
-    if args.get("n_shards", 1) > 1:
+    n_shards = args.get("n_shards", 1)
+    graph_shards = args.get("graph_shards", 1)
+    if n_shards > 1 or graph_shards > 1:
         from infomax3d_tpu.parallel import make_mesh
-        mesh = make_mesh(args["n_shards"])
+        if graph_shards > 1:
+            # (data, graph) mesh: DP over 'data', edge-partitioned graph
+            # parallelism over 'graph' (parallel/edge_partition.py) — for
+            # models whose edge->node aggregation routes through
+            # ops.mailbox.edge_aggregate / pna_aggregate (PNA family,
+            # Net3D, GIN/GCN, EGNN)
+            mesh = make_mesh(n_shards * graph_shards,
+                             axis_names=("data", "graph"),
+                             shape=(n_shards, graph_shards))
+        else:
+            mesh = make_mesh(n_shards)
 
     loss_name = args["loss_func"]
     supervised_losses = ("L1Loss", "MSELoss", "BCEWithLogitsLoss",

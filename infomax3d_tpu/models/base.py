@@ -87,8 +87,19 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            from infomax3d_tpu.parallel.context import cross_replica_axis
+            from infomax3d_tpu.parallel.context import (
+                cross_replica_axis, edge_partition_axis)
             axis = cross_replica_axis()
+            # under edge partitioning, edge-space rows are split over the
+            # graph axis: complete their statistics there too.  For
+            # node-space rows (replicated over that axis) this inflates
+            # count and sums by the same factor, so mean/var — and hence the
+            # normalized output — are unchanged; only the unbiased-var
+            # count/(count-1) correction of the RUNNING stats shifts by
+            # O(1/count), which is below bf16 resolution.
+            e_axis = edge_partition_axis()
+            if e_axis is not None:
+                axis = (axis, e_axis) if axis is not None else e_axis
             xf = x.astype(jnp.float32)
             red = tuple(range(xf.ndim - 1))
             if mask is not None:
@@ -116,8 +127,11 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # normalize in f32 (stats precision), return in the network's compute
+        # dtype so bf16 mode stays bf16 across BN boundaries
+        return (y * scale.astype(jnp.float32)
+                + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 class SplitDense(nn.Module):

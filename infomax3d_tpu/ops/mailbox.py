@@ -225,13 +225,21 @@ def edge_aggregate(g, messages, op: str):
         return fn(messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],
                   g.extras["mb_in_mask"])
     from infomax3d_tpu.ops.segment import segment_sum
+    from infomax3d_tpu.parallel.context import edge_partition_axis
+    part_ax = edge_partition_axis()
     s = segment_sum(messages, g.receivers, g.num_nodes)
+    if part_ax is not None:
+        # edge-partitioned batch (parallel/edge_partition.py): complete the
+        # local partial over the graph mesh axis
+        s = jax.lax.psum(s, part_ax)
     if op == "sum":
         return s
-    deg = g.extras.get("in_degree")
+    deg = g.extras.get("in_degree")   # batcher-precomputed = global degree
     if deg is None:
         from infomax3d_tpu.ops.segment import degree
         deg = degree(g.receivers, g.num_nodes)
+        if part_ax is not None:
+            deg = jax.lax.psum(deg, part_ax)
     return s / jnp.maximum(deg, 1.0)[:, None]
 
 

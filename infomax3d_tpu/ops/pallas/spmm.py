@@ -61,14 +61,17 @@ def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
     ends = jnp.stack([row_ptr_ref[n0 + k + 1] for k in range(TN)]) - base
     eidx = jax.lax.broadcasted_iota(jnp.int32, (TN, WIN), 1)
     inc = (eidx >= starts[:, None]) & (eidx < ends[:, None])   # [TN, WIN]
-    incf = inc.astype(jnp.float32)
 
     copy.wait()
     win = win_ref[:]                                           # [WIN, DC]
-    # HIGHEST: keep sum/sumsq exact (mean/std cancellation is sensitive)
-    sum_ref[:] = jnp.dot(incf, win, preferred_element_type=jnp.float32,
+    # dtype-generic (f32 or bf16 messages — the bf16_compute mode halves the
+    # window DMA): sum/sumsq upcast in-register to f32 so squares and
+    # accumulation keep today's f32-exact numerics regardless of input dtype
+    winf = win.astype(jnp.float32)
+    incf = inc.astype(jnp.float32)
+    sum_ref[:] = jnp.dot(incf, winf, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
-    sumsq_ref[:] = jnp.dot(incf, win * win,
+    sumsq_ref[:] = jnp.dot(incf, winf * winf,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
@@ -81,7 +84,7 @@ def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
     for s in range(K):
         tgt = starts + s                                       # [TN]
         has = (tgt < ends).astype(jnp.int32)[:, None]          # [TN, 1]
-        onehot = (eidx == tgt[:, None]).astype(jnp.float32)    # [TN, WIN]
+        onehot = (eidx == tgt[:, None]).astype(win.dtype)      # [TN, WIN]
         # DEFAULT precision: the MXU rounds window values to bf16; the
         # selected max/min are bf16-rounded and the VJP compares against
         # bf16-rounded messages (exact routing, see _bwd)
@@ -122,7 +125,7 @@ def _csr_reduce_raw(messages, row_ptr, max_deg: int, interpret: bool):
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * 4,
-        scratch_shapes=[pltpu.VMEM((WIN, DC), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WIN, DC), messages.dtype),
                         pltpu.SemaphoreType.DMA(())],
     )
     kernel = functools.partial(_kernel, TN=TN, DC=DC, WIN=WIN, K=max_deg, E=Ep)
@@ -166,7 +169,7 @@ def _bwd(max_deg, interpret, res, cots):
     d_msg = d_msg + jnp.take(d_mn, recv, axis=0) * \
         ((msg_r == mn_e) | (messages == mn_e))
     valid = (receivers < N)[:, None]
-    return jnp.where(valid, d_msg, 0.0), None, None
+    return jnp.where(valid, d_msg, 0.0).astype(messages.dtype), None, None
 
 
 csr_multi_reduce.defvjp(_fwd, _bwd)
@@ -181,7 +184,7 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
     Moment aggregators fall back to the XLA path upstream."""
     s1, s2, mx, mn = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
                                       interpret)
-    deg = (row_ptr[1:] - row_ptr[:-1]).astype(messages.dtype)[:, None]
+    deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
     deg_safe = jnp.maximum(deg, 1.0)
     has = deg > 0
     mean = s1 / deg_safe
@@ -218,7 +221,7 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
             else:
                 raise ValueError(f"unknown PNA scaler: {s}")
         h = jnp.concatenate(scaled, axis=-1)
-    return h
+    return h.astype(messages.dtype)
 
 
 def _sum_kernel(row_ptr_ref, msg_hbm, sum_ref, win_ref, sem,
@@ -234,10 +237,10 @@ def _sum_kernel(row_ptr_ref, msg_hbm, sum_ref, win_ref, sem,
     starts = jnp.stack([row_ptr_ref[n0 + k] for k in range(TN)]) - base
     ends = jnp.stack([row_ptr_ref[n0 + k + 1] for k in range(TN)]) - base
     eidx = jax.lax.broadcasted_iota(jnp.int32, (TN, WIN), 1)
+    copy.wait()
     incf = ((eidx >= starts[:, None]) &
             (eidx < ends[:, None])).astype(jnp.float32)
-    copy.wait()
-    sum_ref[:] = jnp.dot(incf, win_ref[:],
+    sum_ref[:] = jnp.dot(incf, win_ref[:].astype(jnp.float32),
                          preferred_element_type=jnp.float32,
                          precision=(jax.lax.Precision.HIGHEST if exact
                                     else jax.lax.Precision.DEFAULT))
@@ -267,7 +270,7 @@ def _csr_sum_raw(messages, row_ptr, max_deg: int, interpret: bool,
         num_scalar_prefetch=1, grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((WIN, DC), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WIN, DC), messages.dtype),
                         pltpu.SemaphoreType.DMA(())],
     )
     kernel = functools.partial(_sum_kernel, TN=TN, DC=DC, WIN=WIN, E=Ep,
@@ -286,13 +289,16 @@ def csr_sum(messages, row_ptr, receivers, max_deg: int, interpret=False):
 
 
 def _sum_fwd(messages, row_ptr, receivers, max_deg, interpret):
-    return _csr_sum_raw(messages, row_ptr, max_deg, interpret), receivers
+    return (_csr_sum_raw(messages, row_ptr, max_deg, interpret),
+            (receivers, jnp.zeros((), messages.dtype)))
 
 
-def _sum_bwd(max_deg, interpret, receivers, d_s):
+def _sum_bwd(max_deg, interpret, res, d_s):
+    receivers, dtype_token = res
     N = d_s.shape[0]
     d_msg = jnp.take(d_s, receivers.clip(0, N - 1), axis=0)
-    return jnp.where((receivers < N)[:, None], d_msg, 0.0), None, None
+    return (jnp.where((receivers < N)[:, None], d_msg, 0.0)
+            .astype(dtype_token.dtype), None, None)
 
 
 csr_sum.defvjp(_sum_fwd, _sum_bwd)
@@ -300,5 +306,5 @@ csr_sum.defvjp(_sum_fwd, _sum_bwd)
 
 def csr_mean(messages, row_ptr, receivers, max_deg: int, interpret=False):
     s1 = csr_sum(messages, row_ptr, receivers, max_deg, interpret)
-    deg = (row_ptr[1:] - row_ptr[:-1]).astype(messages.dtype)[:, None]
-    return s1 / jnp.maximum(deg, 1.0)
+    deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
+    return (s1 / jnp.maximum(deg, 1.0)).astype(messages.dtype)

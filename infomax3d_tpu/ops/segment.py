@@ -117,8 +117,21 @@ def pna_multi_aggregate(
     available (`deg`).
     """
     E, D = messages.shape
+    in_dtype = messages.dtype
+    # bf16 compute mode: segment accumulation in f32 (bf16 segment_sum would
+    # round every partial sum to 8-bit mantissa); result cast back at exit
+    messages = messages.astype(jnp.float32)
+    # edge-partitioned graph parallelism (parallel/edge_partition.py): the
+    # caller passes this device's edge shard; local partial sums/extrema are
+    # completed with psum/pmax over the mesh axis before any derived stat
+    from infomax3d_tpu.parallel.context import edge_partition_axis
+    part_ax = edge_partition_axis()
     if deg is None:
         deg = degree(receivers, num_nodes)                   # [num_nodes]
+        if part_ax is not None:
+            deg = jax.lax.psum(deg, part_ax)
+    # (deg from the batcher's `in_degree` extras is already the global degree)
+    deg = deg.astype(jnp.float32)
     deg_safe = jnp.maximum(deg, 1.0)[:, None]
     has = (deg > 0.0)[:, None]
 
@@ -129,25 +142,38 @@ def pna_multi_aggregate(
         both = jax.ops.segment_sum(
             jnp.concatenate([messages, messages * messages], axis=-1),
             receivers, num_segments=num_nodes)
+        if part_ax is not None:
+            both = jax.lax.psum(both, part_ax)
         s1, s2 = both[:, :D], both[:, D:]
     else:
         s1 = jax.ops.segment_sum(messages, receivers, num_segments=num_nodes)
+        if part_ax is not None:
+            s1 = jax.lax.psum(s1, part_ax)
         s2 = None
     mean = s1 / deg_safe if need_mean else None
 
     mx = mn_ = None
     want_max = "max" in aggregators
     want_min = "min" in aggregators
-    if want_max and want_min:
+    if want_max or want_min:
+        # one shared segment_max over [msg, -msg]; empty local segments hold
+        # the -inf identity, so pmax completion (locally-empty but globally
+        # non-empty segments) happens BEFORE the zero-degree masking, which
+        # uses the global degree
+        cat = [messages] if not want_min else (
+            [messages, -messages] if want_max else [-messages])
         both_mx = jax.ops.segment_max(
-            jnp.concatenate([messages, -messages], axis=-1), receivers,
-            num_segments=num_nodes)
-        mx = jnp.where(has, both_mx[:, :D], 0.0)
-        mn_ = jnp.where(has, -both_mx[:, D:], 0.0)
-    elif want_max:
-        mx = segment_max(messages, receivers, num_nodes)
-    elif want_min:
-        mn_ = segment_min(messages, receivers, num_nodes)
+            jnp.concatenate(cat, axis=-1) if len(cat) > 1 else cat[0],
+            receivers, num_segments=num_nodes)
+        if part_ax is not None:
+            # differentiable pmax: all_gather + max (lax.pmax has no VJP);
+            # the max's subgradient routes the cotangent to the winning
+            # device's partial, matching segment_max semantics
+            both_mx = jnp.max(jax.lax.all_gather(both_mx, part_ax), axis=0)
+        if want_max:
+            mx = jnp.where(has, both_mx[:, :D], 0.0)
+        if want_min:
+            mn_ = jnp.where(has, -both_mx[:, -D:], 0.0)
 
     results: Dict[str, jnp.ndarray] = {}
     for a in aggregators:
@@ -168,7 +194,11 @@ def pna_multi_aggregate(
         elif a.startswith("moment"):
             n = int(a[len("moment"):])
             centered = messages - jnp.take(mean, receivers.clip(0, num_nodes - 1), axis=0)
-            mn = jax.ops.segment_sum(centered ** n, receivers, num_segments=num_nodes) / deg_safe
+            mom_s = jax.ops.segment_sum(centered ** n, receivers,
+                                        num_segments=num_nodes)
+            if part_ax is not None:
+                mom_s = jax.lax.psum(mom_s, part_ax)
+            mn = mom_s / deg_safe
             rooted = jnp.sign(mn) * jnp.power(jnp.abs(mn) + EPS, 1.0 / n)
             results[a] = jnp.where(has, rooted, 0.0)
         else:
@@ -191,7 +221,7 @@ def pna_multi_aggregate(
             else:
                 raise ValueError(f"unknown PNA scaler: {s}")
         h = jnp.concatenate(scaled, axis=-1)
-    return h
+    return h.astype(in_dtype)
 
 
 def pna_multi_aggregate_always_scaled(
@@ -211,6 +241,10 @@ def pna_multi_aggregate_always_scaled(
     h = pna_multi_aggregate(messages, receivers, num_nodes, aggregators,
                             ("identity",), avg_d_log)
     deg = degree(receivers, num_nodes)
+    from infomax3d_tpu.parallel.context import edge_partition_axis
+    part_ax = edge_partition_axis()
+    if part_ax is not None:
+        deg = jax.lax.psum(deg, part_ax)
     has = (deg > 0.0)[:, None]
     log_deg = jnp.log(deg + 1.0)[:, None]
     scaled = []

@@ -14,6 +14,13 @@ from typing import Optional
 
 _AXIS: ContextVar[Optional[str]] = ContextVar("cross_replica_axis", default=None)
 
+# Mesh axis over which the EDGE SET of the current batch is sharded
+# (edge-partitioned graph parallelism, parallel/edge_partition.py).  Read by
+# the edge->node aggregation ops (ops/segment.py, ops/mailbox.py) to complete
+# their local partial reductions with psum/pmax/pmin over this axis.
+_EDGE_AXIS: ContextVar[Optional[str]] = ContextVar("edge_partition_axis",
+                                                   default=None)
+
 
 def cross_replica_axis() -> Optional[str]:
     return _AXIS.get()
@@ -26,3 +33,16 @@ def using_cross_replica_axis(name: Optional[str]):
         yield
     finally:
         _AXIS.reset(token)
+
+
+def edge_partition_axis() -> Optional[str]:
+    return _EDGE_AXIS.get()
+
+
+@contextlib.contextmanager
+def using_edge_partition_axis(name: Optional[str]):
+    token = _EDGE_AXIS.set(name)
+    try:
+        yield
+    finally:
+        _EDGE_AXIS.reset(token)

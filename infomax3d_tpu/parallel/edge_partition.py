@@ -67,6 +67,49 @@ def shard_edge_arrays(arrays: Dict[str, np.ndarray], shard_of_edge: np.ndarray,
     return out
 
 
+# extras that index into the FULL edge ordering — meaningless on an edge
+# shard; dropping them makes the aggregation dispatchers (ops/mailbox.py)
+# fall through to the XLA segment path, which completes partials over the
+# mesh axis (see ops/segment.py::pna_multi_aggregate `psum` completion).
+_FULL_EDGE_EXTRAS = ("mb_in_edges", "mb_in_mask", "mb_edge_slot",
+                     "mb_out_edges", "mb_out_mask", "mb_out_slot",
+                     "csr_row_ptr", "_edge_perm")
+
+
+def shard_batch_edges(g, k: int, axis: str):
+    """Inside shard_map: slice a replicated GraphBatch down to this device's
+    round-robin edge shard (edge e -> device ``e % k``).
+
+    Node arrays stay replicated (full), so node-side compute is identical on
+    every device of the `graph` axis; only the edge network (message MLPs —
+    the FLOP-dominant part for dense 3D graphs, E ~ N^2) runs on E/k edges.
+    The padded batch layout puts real edges first, so the round-robin stride
+    balances real work across shards to within one edge — no host-side bin
+    packing needed.  ``in_degree`` (precomputed over the FULL edge set by the
+    batcher) is kept: it is the global degree the completed aggregation
+    needs.
+    """
+    E = g.senders.shape[0]
+    if E % k:
+        raise ValueError(f"edge capacity {E} not divisible by graph_shards {k}")
+    i = jax.lax.axis_index(axis)
+
+    def _slice(a):
+        if a is None:
+            return None
+        ar = a.reshape((E // k, k) + a.shape[1:])
+        return jax.lax.dynamic_index_in_dim(ar, i, axis=1, keepdims=False)
+
+    extras = {kk: v for kk, v in g.extras.items() if kk not in _FULL_EDGE_EXTRAS}
+    return g.replace(
+        senders=_slice(g.senders), receivers=_slice(g.receivers),
+        edge_mask=_slice(g.edge_mask),
+        edge_graph=None if g.edge_graph is None else _slice(g.edge_graph),
+        edge_feat=None if g.edge_feat is None else _slice(g.edge_feat),
+        edge_dist=None if g.edge_dist is None else _slice(g.edge_dist),
+        extras=extras)
+
+
 def edge_partitioned_segment_sum(messages: jnp.ndarray,
                                  receivers: jnp.ndarray,
                                  num_nodes: int, axis: str) -> jnp.ndarray:

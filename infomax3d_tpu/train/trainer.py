@@ -74,6 +74,8 @@ class Trainer:
     """Supervised trainer (reference base `Trainer`)."""
 
     MODEL_KEYS = ("model",)
+    # bf16 compute (train/precision.py) applies unless a flavor opts out
+    supports_bf16 = True
 
     def __init__(self, models: Dict[str, Any], args: Dict, metrics: Dict[str, Any],
                  main_metric: str, run_dir: str,
@@ -91,6 +93,9 @@ class Trainer:
         self.loss_name = loss_name
         self.main_metric = loss_name if main_metric == "loss" else main_metric
         self.main_metric_goal = main_metric_goal
+        from infomax3d_tpu.train.precision import resolve_compute_dtype
+        self.compute_dtype = resolve_compute_dtype(
+            args.get("bf16_compute", "auto")) if self.supports_bf16 else None
         self.run_dir = run_dir
         self.mesh = mesh
         os.makedirs(run_dir, exist_ok=True)
@@ -122,7 +127,7 @@ class Trainer:
         self.state = TrainState(params=params, batch_stats=batch_stats,
                                 opt_state=opt_state,
                                 step=jnp.zeros([], jnp.int32),
-                                extra=self._init_extra(params))
+                                extra=self._init_extra(params, batch_stats))
         if self.args.get("checkpoint"):
             self._load(self.args["checkpoint"])
         return self.state
@@ -130,7 +135,7 @@ class Trainer:
     def _init_model(self, key, rng, batch):
         return self.models[key].init(rng, batch["graph"], deterministic=True)
 
-    def _init_extra(self, params):
+    def _init_extra(self, params, batch_stats):
         return None
 
     def _build_optimizers(self, params):
@@ -177,16 +182,32 @@ class Trainer:
         loss = _elementwise_supervised_loss(self.loss_name, pred, targets, valid)
         return loss, AuxOut(pred, targets, {}), {"model": new_stats}
 
+    def _cast_in(self, tree):
+        """bf16-compute boundary: params / float batch inputs f32 -> bf16."""
+        if self.compute_dtype is None:
+            return tree
+        from infomax3d_tpu.train.precision import cast_floats
+        return cast_floats(tree, self.compute_dtype)
+
+    def _cast_out(self, tree):
+        """Model outputs back to f32 so losses/metrics run full precision."""
+        if self.compute_dtype is None:
+            return tree
+        from infomax3d_tpu.train.precision import cast_floats
+        return cast_floats(tree, jnp.float32)
+
     def _apply(self, model, params, batch_stats, graph, train, rng,
                method=None, **kw):
+        params = self._cast_in(params)
+        graph = self._cast_in(graph)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             out, mut = model.apply(variables, graph, deterministic=False,
                                    mutable=["batch_stats"],
                                    rngs={"dropout": rng}, method=method, **kw)
-            return out, mut.get("batch_stats", batch_stats)
+            return self._cast_out(out), mut.get("batch_stats", batch_stats)
         out = model.apply(variables, graph, deterministic=True, method=method, **kw)
-        return out, batch_stats
+        return self._cast_out(out), batch_stats
 
     # ------------------------------------------------------------- jit steps
     def _make_train_step(self):
@@ -196,6 +217,10 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0,))
         def step_fn(state: TrainState, batch, group_lrs, rng):
+            # flavors whose loss_fn reads auxiliary state (BYOL teacher
+            # params/stats) pick it up from this trace-local stash
+            self._loss_fn_extra = state.extra
+
             def lf(params):
                 loss, aux, new_stats = self.loss_fn(
                     params, state.batch_stats, batch, state.step, rng, True)
@@ -207,9 +232,15 @@ class Trainer:
                                               state.params, group_lrs)
             params = jax.tree_util.tree_map(lambda p, u: p + u,
                                             state.params, updates)
-            new_state = state.replace(params=params, opt_state=opt_state,
-                                      batch_stats=new_stats,
-                                      step=state.step + 1)
+            # loss_fn may return updates for state.extra under the reserved
+            # "_extra" key (e.g. BYOL teacher running BN stats)
+            extra_upd = new_stats.pop("_extra", None) \
+                if isinstance(new_stats, dict) else None
+            new_state = state.replace(
+                params=params, opt_state=opt_state, batch_stats=new_stats,
+                step=state.step + 1,
+                extra=state.extra if extra_upd is None
+                else {**(state.extra or {}), **extra_upd})
             new_state = self._post_update(new_state)
             return new_state, loss, aux
 
@@ -224,6 +255,7 @@ class Trainer:
 
         @jax.jit
         def step_fn(state: TrainState, batch, rng):
+            self._loss_fn_extra = state.extra
             loss, aux, _ = self.loss_fn(state.params, state.batch_stats, batch,
                                         state.step, rng, False)
             return loss, aux
@@ -243,14 +275,42 @@ class Trainer:
         training on the concatenated batch.
         """
         from jax.sharding import PartitionSpec as P
-        from infomax3d_tpu.parallel.context import using_cross_replica_axis
+        from infomax3d_tpu.graphs.batch import GraphBatch
+        from infomax3d_tpu.parallel.context import (
+            using_cross_replica_axis, using_edge_partition_axis)
         axis = self.mesh.axis_names[0]
+        data_sharded = self.mesh.shape[axis] > 1
+        # optional second mesh axis: edge-partitioned graph parallelism —
+        # batches replicated over 'graph', each device takes its round-robin
+        # edge shard; aggregation ops complete partials via psum/pmax (see
+        # parallel/edge_partition.py)
+        g_axis = ("graph" if "graph" in self.mesh.axis_names
+                  and self.mesh.shape["graph"] > 1 else None)
+        grad_axes = (axis,) + ((g_axis,) if g_axis else ())
         optim = self.optims["main"] if train else None
 
+        def _shard_edges(b):
+            if g_axis is None:
+                return b
+            from infomax3d_tpu.parallel.edge_partition import shard_batch_edges
+            k = self.mesh.shape["graph"]
+            return jax.tree_util.tree_map(
+                lambda v: (shard_batch_edges(v, k, g_axis)
+                           if isinstance(v, GraphBatch) else v), b,
+                is_leaf=lambda v: isinstance(v, GraphBatch))
+
         def core(state, batch, group_lrs, rng):
-            local = jax.tree_util.tree_map(lambda a: a[0], batch)
+            self._loss_fn_extra = state.extra
+            if data_sharded:
+                local = jax.tree_util.tree_map(lambda a: a[0], batch)
+            else:
+                local = batch
+            local = _shard_edges(local)
+            # fold only the DATA index: graph-axis replicas must draw the
+            # same dropout masks for the replicated node-space compute
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-            with using_cross_replica_axis(axis):
+            with using_cross_replica_axis(axis), \
+                    using_edge_partition_axis(g_axis):
                 if not train:
                     loss, aux, _ = self.loss_fn(state.params, state.batch_stats,
                                                 local, state.step, rng, False)
@@ -265,26 +325,37 @@ class Trainer:
                     lf, has_aux=True)(state.params)
             # per-device losses are identical (global loss via collectives);
             # JAX's collective transposes differentiate the per-device SUM,
-            # so pmean recovers d(loss)/d(params) exactly
-            grads = jax.lax.pmean(grads, axis)
+            # so pmean recovers d(loss)/d(params) exactly.  Under edge
+            # partitioning the same argument covers the graph axis: summing
+            # the k per-replica losses scales every cotangent by k (psum
+            # transpose), and pmean over the graph axis divides it back —
+            # for edge-side params (each shard's k-scaled local
+            # contribution) and node-side params (k identical full grads)
+            # alike.
+            grads = jax.lax.pmean(grads, grad_axes)
             updates, opt_state = optim.update(grads, state.opt_state,
                                               state.params, group_lrs)
             params = jax.tree_util.tree_map(lambda p, u: p + u,
                                             state.params, updates)
-            new_state = state.replace(params=params, opt_state=opt_state,
-                                      batch_stats=new_stats,
-                                      step=state.step + 1)
+            extra_upd = new_stats.pop("_extra", None) \
+                if isinstance(new_stats, dict) else None
+            new_state = state.replace(
+                params=params, opt_state=opt_state, batch_stats=new_stats,
+                step=state.step + 1,
+                extra=state.extra if extra_upd is None
+                else {**(state.extra or {}), **extra_upd})
             new_state = self._post_update(new_state)
             return new_state, jax.lax.pmean(loss, axis), aux
 
+        batch_spec = P(axis) if data_sharded else P()
         if train:
-            in_specs = (P(), P(axis), P(), P())
-            out_specs = (P(), P(), P(axis))
+            in_specs = (P(), batch_spec, P(), P())
+            out_specs = (P(), P(), batch_spec)
             donate = (0,)
         else:
             core_eval = lambda state, batch, rng: core(state, batch, None, rng)
-            in_specs = (P(), P(axis), P())
-            out_specs = (P(), P(axis))
+            in_specs = (P(), batch_spec, P())
+            out_specs = (P(), batch_spec)
             donate = ()
 
         fn = core if train else core_eval
@@ -644,21 +715,30 @@ class GraphCLTrainer(Trainer):
 class BYOLTrainer(SelfSupervisedTrainer):
     """BYOL student/teacher with EMA (byol_trainer.py + byol_wrapper.py).
 
-    Teacher parameters live in state.extra and are EMA-updated INSIDE the
-    jitted step (`_post_update`) — the TPU-native version of
-    `ma_teacher_update` after each optimizer step.
+    Teacher parameters AND teacher BatchNorm running stats live in
+    state.extra; the teacher forward runs in TRAIN mode during training —
+    `torch.no_grad()` in the reference (byol_wrapper.py:50-52) disables
+    autograd but not BN batch-statistics mode, so the teacher normalizes
+    with batch stats and keeps updating its own running buffers.  Params are
+    EMA-updated INSIDE the jitted step (`_post_update`) — the TPU-native
+    version of `ma_teacher_update` after each optimizer step; teacher stats
+    flow back through the reserved "_extra" key of the stats tree.  Uses the
+    base (and parallel shard_map) step machinery.
     """
 
     def __init__(self, *a, ma_decay: float = 0.99, **kw):
         super().__init__(*a, **kw)
         self.ma_decay = ma_decay
 
-    def _init_extra(self, params):
-        # teacher = materialized copy of each student's trunk (not aliased:
-        # the step donates its input buffers)
-        return {"teacher": jax.tree_util.tree_map(
-            jnp.copy,
-            {k: self._strip_predictor(params[k]) for k in self.MODEL_KEYS})}
+    def _init_extra(self, params, batch_stats):
+        # teacher = materialized copy of each student's trunk + its BN
+        # buffers (reference deepcopy, byol_wrapper.py:28; copies, not
+        # aliases: the step donates its input buffers)
+        return jax.tree_util.tree_map(jnp.copy, {
+            "teacher": {k: self._strip_predictor(params[k])
+                        for k in self.MODEL_KEYS},
+            "teacher_stats": {k: self._strip_predictor(batch_stats[k])
+                              for k in self.MODEL_KEYS}})
 
     @staticmethod
     def _strip_predictor(p):
@@ -667,65 +747,46 @@ class BYOLTrainer(SelfSupervisedTrainer):
     def loss_fn(self, params, batch_stats, batch, step, rng, train):
         r2, r3 = jax.random.split(rng)
         mdl2, mdl3 = self.models["model"], self.models["model3d"]
-        (pred2_s, proj2_t), s2 = self._apply_byol(
+        (pred2_s, proj2_t), s2, t2 = self._apply_byol(
             mdl2, params["model"], batch_stats["model"],
             batch["graph2d"], train, r2, teacher_key="model")
-        (pred3_s, proj3_t), s3 = self._apply_byol(
+        (pred3_s, proj3_t), s3, t3 = self._apply_byol(
             mdl3, params["model3d"], batch_stats["model3d"],
             batch["graph3d"], train, r3, teacher_key="model3d")
         loss = (self.loss_func(pred2_s, jax.lax.stop_gradient(proj3_t)) +
                 self.loss_func(jax.lax.stop_gradient(proj2_t), pred3_s))
-        return loss, AuxOut(pred2_s, pred3_s, {}), {"model": s2, "model3d": s3}
+        new_stats = {"model": s2, "model3d": s3,
+                     "_extra": {"teacher_stats": {"model": t2, "model3d": t3}}}
+        return loss, AuxOut(pred2_s, pred3_s, {}), new_stats
 
     def _apply_byol(self, model, params, batch_stats, graph, train, rng,
                     teacher_key):
+        rng_s, rng_t = jax.random.split(rng)
         (pred_s, _), new_stats = self._apply(model, params, batch_stats, graph,
-                                             train, rng)
-        teacher_params = dict(self._teacher_params[teacher_key])
+                                             train, rng_s)
+        extra = self._loss_fn_extra
         tp = dict(params)
-        tp.update(teacher_params)
-        (_, proj_t), _ = self._apply(model, tp, batch_stats, graph, False, rng)
-        return (pred_s, proj_t), new_stats
+        tp.update(extra["teacher"][teacher_key])
+        t_stats = dict(batch_stats)
+        t_stats.update(extra["teacher_stats"][teacher_key])
+        # train mode: batch-stat normalization + running-buffer update, like
+        # the reference teacher under torch.no_grad (byol_wrapper.py:50-52);
+        # gradients cannot flow — teacher params are not in the diff'd tree
+        # and the caller stop_gradients the projection
+        (_, proj_t), t_new = self._apply(model, tp, t_stats, graph, train,
+                                         rng_t)
+        t_keep = self._strip_predictor(t_new) if train \
+            else extra["teacher_stats"][teacher_key]
+        return (pred_s, proj_t), new_stats, t_keep
 
-    def _make_train_step(self):
-        # thread teacher params through loss via self._teacher_params closure
-        optim = self.optims["main"]
+    def _post_update(self, state: TrainState) -> TrainState:
         decay = self.ma_decay
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def step_fn(state: TrainState, batch, group_lrs, rng):
-            self._teacher_params = state.extra["teacher"]
-
-            def lf(params):
-                loss, aux, new_stats = self.loss_fn(
-                    params, state.batch_stats, batch, state.step, rng, True)
-                return loss, (aux, new_stats)
-
-            (loss, (aux, new_stats)), grads = jax.value_and_grad(
-                lf, has_aux=True)(state.params)
-            updates, opt_state = optim.update(grads, state.opt_state,
-                                              state.params, group_lrs)
-            params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                            state.params, updates)
-            teacher = jax.tree_util.tree_map(
-                lambda t, s: t * decay + s * (1.0 - decay),
-                state.extra["teacher"],
-                {k: self._strip_predictor(params[k]) for k in self.MODEL_KEYS})
-            return state.replace(params=params, opt_state=opt_state,
-                                 batch_stats=new_stats, step=state.step + 1,
-                                 extra={"teacher": teacher}), loss, aux
-
-        return step_fn
-
-    def _make_eval_step(self):
-        @jax.jit
-        def step_fn(state: TrainState, batch, rng):
-            self._teacher_params = state.extra["teacher"]
-            loss, aux, _ = self.loss_fn(state.params, state.batch_stats, batch,
-                                        state.step, rng, False)
-            return loss, aux
-
-        return step_fn
+        teacher = jax.tree_util.tree_map(
+            lambda t, s: t * decay + s * (1.0 - decay),
+            state.extra["teacher"],
+            {k: self._strip_predictor(state.params[k])
+             for k in self.MODEL_KEYS})
+        return state.replace(extra={**state.extra, "teacher": teacher})
 
 
 class PhilosophyTrainer(SelfSupervisedTrainer):
@@ -867,17 +928,19 @@ class DistancePredictorTrainer(Trainer):
 
     def loss_fn(self, params, batch_stats, batch, step, rng, train):
         g, pairs = batch["graph"], batch["pairs"]
-        variables = {"params": params["model"],
+        variables = {"params": self._cast_in(params["model"]),
                      "batch_stats": batch_stats["model"]}
+        g_c = self._cast_in(g)
         if train:
             pred, mut = self.models["model"].apply(
-                variables, g, pairs, deterministic=False,
+                variables, g_c, pairs, deterministic=False,
                 mutable=["batch_stats"], rngs={"dropout": rng})
             new_stats = mut.get("batch_stats", batch_stats["model"])
         else:
-            pred = self.models["model"].apply(variables, g, pairs,
+            pred = self.models["model"].apply(variables, g_c, pairs,
                                               deterministic=True)
             new_stats = batch_stats["model"]
+        pred = self._cast_out(pred)
         target = pairs.edge_dist[:, None]
         valid = pairs.edge_mask[:, None]
         loss = _elementwise_supervised_loss(self.loss_name, pred, target, valid)
@@ -907,6 +970,8 @@ def exact_emd(cost: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class OptimalTransportTrainer(Trainer):
+    # conformer geometry (Kabsch/dihedral) is rounding-sensitive; keep f32
+    supports_bf16 = False
     """GeoMol conformer-generation training (reference
     trainer/optimal_transport_trainer.py:11-67): loss computed inside the
     model; gradient clip 10; `ignore_neighbors` (local-only losses) for the
