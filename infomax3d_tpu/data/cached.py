@@ -33,7 +33,8 @@ class CachedMoleculeDataset:
 
     def __init__(self, path: str, num_conformers: int = 1,
                  normalize_targets: bool = False,
-                 target_indices: Optional[Sequence[int]] = None):
+                 target_indices: Optional[Sequence[int]] = None,
+                 target_scale: Optional[Sequence[float]] = None):
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"dataset cache not found: {path}. Build it with the "
@@ -63,6 +64,11 @@ class CachedMoleculeDataset:
         self.target_indices = list(target_indices) if target_indices else None
         if self.targets is not None and self.target_indices:
             self.targets = self.targets[:, self.target_indices]
+        if self.targets is not None and target_scale is not None:
+            # per-task unit conversion (QM9 csv stores Hartree; the served
+            # targets are eV — reference qm9_dataset.py:112-130) applied
+            # BEFORE normalization so mean/std are in converted units
+            self.targets = self.targets * np.asarray(target_scale, np.float32)
         self.targets_mean = self.targets_std = None
         if normalize_targets and self.targets is not None:
             self.targets_mean = self.targets.mean(axis=0)
@@ -144,8 +150,10 @@ class QM9Dataset(CachedMoleculeDataset):
     def __init__(self, path: str, target_tasks: Sequence[str] = ("homo",),
                  normalize: bool = True, num_conformers: int = 1):
         idx = [QM9_TARGET_NAMES.index(t) for t in target_tasks]
+        scale = [HAR2EV if t in QM9_EV_TARGETS else 1.0 for t in target_tasks]
         super().__init__(path, num_conformers=num_conformers,
-                         normalize_targets=normalize, target_indices=idx)
+                         normalize_targets=normalize, target_indices=idx,
+                         target_scale=scale)
         self.target_tasks = list(target_tasks)
         self.ev2mev = np.array(
             [1000.0 if t in QM9_EV_TARGETS else 1.0 for t in target_tasks],

@@ -127,19 +127,80 @@ def build_cache(mols, targets: Optional[np.ndarray], out_path: str,
     print(f"wrote {kept} molecules -> {out_path}")
 
 
+def _sdf_supplier(path: str):
+    """RDKit SDMolSupplier when available, else the dependency-free V2000
+    parser (data/sdf.py) with the same accessor surface."""
+    try:
+        from rdkit import Chem
+        return Chem.SDMolSupplier(path, removeHs=False, sanitize=True)
+    except ImportError:
+        from infomax3d_tpu.data.sdf import parse_sdf
+        return parse_sdf(path)
+
+
+# raw gdb9.sdf.csv column order: mol_id,A,B,C,mu,alpha,homo,lumo,gap,r2,
+# zpve,u0,u298,h298,g298,cv,u0_atom,u298_atom,h298_atom,g298_atom.
+# The cache stores targets in QM9_TARGET_NAMES order (mu first, rotational
+# constants a/b/c last — data/cached.py:133), so reorder here.
+_QM9_CSV_TO_CACHE = [4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                     16, 17, 18, 19, 1, 2, 3]
+
+
 def preprocess_qm9(raw_dir: str, out_path: str):
-    from rdkit import Chem
     sdf = os.path.join(raw_dir, "gdb9.sdf")
     csv = os.path.join(raw_dir, "gdb9.sdf.csv")
-    suppl = Chem.SDMolSupplier(sdf, removeHs=False, sanitize=True)
-    targets = np.genfromtxt(csv, delimiter=",", skip_header=1)[:, 1:20]
-    build_cache(suppl, targets, out_path)
+    raw = np.genfromtxt(csv, delimiter=",", skip_header=1)
+    targets = raw[:, _QM9_CSV_TO_CACHE]
+    build_cache(_sdf_supplier(sdf), targets, out_path)
 
 
 def preprocess_sdf(raw_path: str, out_path: str, num_conformers: int = 1):
-    from rdkit import Chem
-    suppl = Chem.SDMolSupplier(raw_path, removeHs=False, sanitize=True)
-    build_cache(suppl, None, out_path, num_conformers)
+    build_cache(_sdf_supplier(raw_path), None, out_path, num_conformers)
+
+
+GEOM_TARGET_KEYS = ("ensembleenergy", "ensembleentropy", "ensemblefreeenergy",
+                    "lowestenergy", "poplowestpct", "temperature",
+                    "uniqueconfs")
+
+
+def preprocess_geom_pickle(raw_dir: str, out_path: str,
+                           num_conformers: int = 5,
+                           summary_name: str = "summary_drugs.json",
+                           max_molecules: Optional[int] = None):
+    """GEOM (drugs/qm9) pickles -> flat cache (reference
+    geom_drugs_dataset.py:294-360): walk the summary json, unpickle each
+    molecule's conformer list, featurize conformer 0's graph and keep the
+    first `num_conformers` conformer coordinate sets.  Requires RDKit (the
+    pickles contain rdkit Mol payloads)."""
+    import json
+    import pickle
+
+    with open(os.path.join(raw_dir, summary_name)) as f:
+        summary = json.load(f)
+
+    mols, targets = [], []
+    for smiles, sub in summary.items():
+        pp = os.path.join(raw_dir, sub.get("pickle_path", ""))
+        if not os.path.isfile(pp):
+            continue
+        with open(pp, "rb") as pf:
+            mol_dict = pickle.load(pf)
+        if "ensembleenergy" not in mol_dict:
+            continue
+        confs = mol_dict["conformers"]
+        mol = confs[0]["rd_mol"]
+        # graph/topology from conformer 0; extra conformers become extra
+        # coordinate sets on the same mol (mol_to_arrays reads them in order)
+        for extra in confs[1:num_conformers]:
+            rd = extra["rd_mol"]
+            if rd.GetNumConformers():
+                mol.AddConformer(rd.GetConformer(), assignId=True)
+        mols.append(mol)
+        targets.append([float(mol_dict.get(k, 0.0)) for k in GEOM_TARGET_KEYS])
+        if max_molecules and len(mols) >= max_molecules:
+            break
+    build_cache(mols, np.asarray(targets, np.float64), out_path,
+                num_conformers)
 
 
 def preprocess_smiles(txt_path: str, out_path: str):
@@ -152,21 +213,31 @@ def preprocess_smiles(txt_path: str, out_path: str):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("dataset", choices=["qm9", "sdf", "smiles"])
+    p.add_argument("dataset", choices=["qm9", "sdf", "smiles", "geom"])
     p.add_argument("--raw", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--num_conformers", type=int, default=1)
+    p.add_argument("--summary", default="summary_drugs.json",
+                   help="GEOM summary json name (geom only)")
+    p.add_argument("--max_molecules", type=int, default=None)
     a = p.parse_args(argv)
-    try:
-        import rdkit  # noqa: F401
-    except ImportError:
-        raise SystemExit("RDKit is required for preprocessing; run this in a "
-                         "data-prep environment (the training environment "
-                         "only needs the .npz cache).")
+    if a.dataset in ("smiles", "geom"):
+        # SMILES featurization / GEOM rdkit-Mol pickles genuinely need RDKit;
+        # qm9/sdf fall back to the pure V2000 parser (data/sdf.py)
+        try:
+            import rdkit  # noqa: F401
+        except ImportError:
+            raise SystemExit(
+                f"RDKit is required for '{a.dataset}' preprocessing; run in "
+                f"a data-prep environment (training only needs the .npz).")
     if a.dataset == "qm9":
         preprocess_qm9(a.raw, a.out)
     elif a.dataset == "sdf":
         preprocess_sdf(a.raw, a.out, a.num_conformers)
+    elif a.dataset == "geom":
+        preprocess_geom_pickle(a.raw, a.out, a.num_conformers,
+                               summary_name=a.summary,
+                               max_molecules=a.max_molecules)
     else:
         preprocess_smiles(a.raw, a.out)
 
