@@ -340,16 +340,24 @@ def roc_auc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
 
 
 def average_precision_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """AP with sklearn's grouped-threshold semantics (tied scores form one
+    precision/recall point), matching `ogb.graphproppred.Evaluator._eval_ap`
+    which delegates to sklearn.  AP = sum_i (R_i - R_{i-1}) * P_i over
+    distinct-score thresholds in descending order."""
     y_true = np.asarray(y_true).astype(np.float64)
     y_score = np.asarray(y_score).astype(np.float64)
-    order = np.argsort(-y_score, kind="mergesort")
-    yt = y_true[order]
-    tp = np.cumsum(yt)
-    precision = tp / np.arange(1, len(yt) + 1)
-    n_pos = yt.sum()
+    n_pos = (y_true == 1).sum()
     if n_pos == 0:
         return float("nan")
-    return float((precision * yt).sum() / n_pos)
+    order = np.argsort(-y_score, kind="mergesort")
+    yt = y_true[order]
+    ys = y_score[order]
+    # last index of each tied-score group == the threshold evaluation points
+    last = np.r_[np.nonzero(np.diff(ys))[0], len(ys) - 1]
+    tp = np.cumsum(yt)[last]
+    precision = tp / (last + 1.0)
+    recall = tp / n_pos
+    return float(np.sum(np.diff(np.r_[0.0, recall]) * precision))
 
 
 @register_metric("ogb_evaluator")

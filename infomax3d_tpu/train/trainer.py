@@ -101,6 +101,11 @@ class Trainer:
         os.makedirs(run_dir, exist_ok=True)
         enable_persistent_compilation_cache()
         self.logger = RunLogger(run_dir, use_tensorboard=use_tensorboard)
+        from infomax3d_tpu.train.logging import TENSORBOARD_FUNCTIONS
+        self.tensorboard_functions = {
+            name: TENSORBOARD_FUNCTIONS[name]
+            for name in (args.get("tensorboard_functions") or [])
+            if name in TENSORBOARD_FUNCTIONS}
         self.rng = jax.random.key(seed)
         self._step_cache: Dict[Any, Callable] = {}
         self._metric_cache: Dict[Any, Callable] = {}
@@ -128,9 +133,35 @@ class Trainer:
                                 opt_state=opt_state,
                                 step=jnp.zeros([], jnp.int32),
                                 extra=self._init_extra(params, batch_stats))
+        self._snapshot_model_source()
         if self.args.get("checkpoint"):
             self._load(self.args["checkpoint"])
         return self.state
+
+    def _snapshot_model_source(self):
+        """Copy each model class's source into the run dir (reference
+        trainer.py:264-270 snapshots the class source next to the
+        checkpoints so a run records exactly what it trained)."""
+        import inspect
+        for key in self.MODEL_KEYS:
+            model = self.models.get(key)
+            if model is None:
+                continue
+            try:
+                cls = type(model)
+                source = inspect.getsource(cls)
+                file_name = os.path.basename(inspect.getfile(cls))
+            except (OSError, TypeError):
+                continue
+            with open(os.path.join(self.run_dir, file_name), "w") as f:
+                f.write(source)
+
+    def run_tensorboard_functions(self, preds, targets, step: int,
+                                  data_split: str):
+        """Configured figure hooks (reference run_tensorboard_functions,
+        trainer.py:201-203) — e.g. `tensorboard_functions: [singular_values]`."""
+        for fn in self.tensorboard_functions.values():
+            fn(preds, targets, self.logger, step, data_split)
 
     def _init_model(self, key, rng, batch):
         return self.models[key].init(rng, batch["graph"], deterministic=True)
@@ -424,6 +455,8 @@ class Trainer:
                 for gi, lr in enumerate(self.lr_controllers["main"].lrs):
                     m[f"lr_param_group_{gi}"] = lr
                 self.logger.log(m, "train", self.optim_steps, epoch)
+                self.run_tensorboard_functions(preds, targets,
+                                               self.optim_steps, "train")
 
     def _after_optim_step(self):
         for c in self.lr_controllers.values():
@@ -450,6 +483,9 @@ class Trainer:
             n_batches += 1
             epoch_loss += float(loss)
             preds, targets = self._host_filter(batch, aux)
+            if n_batches == 1:  # reference: figure hooks on the first val batch
+                self.run_tensorboard_functions(preds, targets,
+                                               self.optim_steps, "val")
             if val_per_batch:
                 m = self._eval_metrics(preds, targets, val=True)
                 m[self.loss_name] = float(loss)
