@@ -67,8 +67,9 @@ def main():
     # edge set is [n, n] minus the diagonal, so aggregation is a masked
     # reduce — no scatters, no 128-lane padding waste at hidden_dim 20.
     _maxdeg2 = max(int(np.bincount(m["receivers"]).max()) for m in mols2)
+    _nmax2 = max(m["node_feat"].shape[0] for m in mols2)
     b2 = BucketSpec(B, ((n_tot + 255) // 256) * 256, ((e2 + 511) // 512) * 512,
-                    max_deg=_maxdeg2, csr=True)
+                    max_deg=_maxdeg2, csr=True, nmax=_nmax2)
     g2 = to_graph_batch(batch_graphs(mols2, b2))
     nmax3 = max(m["node_feat"].shape[0] for m in mols3)
     g3 = to_dense_batch(dense_batch(mols3, B, nmax3, with_edges=False))

@@ -416,10 +416,11 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
     e3_cap = _cap(nodes * (nodes - 1), 2048)
     if args.get("_csr") and hasattr(dataset, "max_in_degree"):
         bucket = BucketSpec(bs, n_cap, e2_cap,
-                            max_deg=int(dataset.max_in_degree()), csr=True)
+                            max_deg=int(dataset.max_in_degree()), csr=True,
+                            nmax=max_n)
     else:
-        bucket = BucketSpec(bs, n_cap, e2_cap)
-    bucket3d = BucketSpec(bs, n_cap, e3_cap)
+        bucket = BucketSpec(bs, n_cap, e2_cap, nmax=max_n)
+    bucket3d = BucketSpec(bs, n_cap, e3_cap, nmax=max_n)
 
     collate = args["collate_function"]
     ckw = dict(args.get("collate_params") or {})

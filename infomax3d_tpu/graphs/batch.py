@@ -97,6 +97,10 @@ class BucketSpec:
     # fused segmented-aggregation kernel (ops/pallas/spmm.py); requires
     # max_deg > 0 (the kernel's window bound)
     csr: bool = struct.field(pytree_node=False, default=False)
+    # max nodes of any single graph; > 0 emits rd_node_idx/rd_inv_flat so
+    # graph readouts run as gather + masked dense reduce (both directions
+    # scatter-free) instead of TPU's row-serialized segment scatters
+    nmax: int = struct.field(pytree_node=False, default=0)
 
     def __repr__(self):
         return (f"BucketSpec(G={self.n_graphs}, N={self.n_nodes}, "
@@ -218,6 +222,15 @@ def batch_graphs(
         np.cumsum(np.bincount(receivers.clip(0, N), minlength=N + 1)[:N],
                   out=row_ptr[1:])
         out["csr_row_ptr"] = row_ptr
+        # CSC side: edge order sorted by SENDER (padding senders == N sort
+        # last), for scatter-free sender-gather backwards — d_nodes =
+        # sorted_segment_sum(ct[csc_perm], csc_row_ptr)
+        csc = np.argsort(senders, kind="stable").astype(np.int32)
+        out["csc_perm"] = csc
+        csc_ptr = np.zeros(N + 1, np.int32)
+        np.cumsum(np.bincount(senders.clip(0, N), minlength=N + 1)[:N],
+                  out=csc_ptr[1:])
+        out["csc_row_ptr"] = csc_ptr
 
     if bucket.max_deg > 0:
         from infomax3d_tpu.ops.mailbox import build_mailbox
@@ -234,6 +247,26 @@ def batch_graphs(
     snorm[:n_tot, 0] = np.repeat(1.0 / np.sqrt(n_per.astype(np.float32)), n_per)
     out["snorm"] = snorm
 
+    if bucket.nmax > 0:
+        # dense readout regrouping: node row -> (graph, slot).  Forward
+        # readout gathers nodes into [G, nmax, D] and masked-reduces; the
+        # regroup backward is the inverse gather — no scatters either way
+        # (ops/segment.py::graph_readout dense path).
+        nm = int(bucket.nmax)
+        if len(n_per) and int(n_per.max()) > nm:
+            raise ValueError(
+                f"bucket.nmax={nm} < largest graph ({int(n_per.max())} nodes)")
+        idx2 = np.full((G, nm), N, np.int32)          # pad -> node row N
+        inv = np.full(N, G * nm, np.int32)            # pad -> zero ct row
+        ptr = 0
+        for gi, np_i in enumerate(n_per):
+            np_i = int(np_i)
+            idx2[gi, :np_i] = np.arange(ptr, ptr + np_i, dtype=np.int32)
+            inv[ptr:ptr + np_i] = gi * nm + np.arange(np_i, dtype=np.int32)
+            ptr += np_i
+        out["rd_node_idx"] = idx2
+        out["rd_inv_flat"] = inv
+
     for key in extras_keys:
         vals = [np.asarray(g[key]) for g in graphs]
         v0 = vals[0]
@@ -247,7 +280,8 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     """Wrap host arrays from :func:`batch_graphs` into a `GraphBatch` pytree."""
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
-              "mb_out_mask", "mb_out_slot", "csr_row_ptr", "in_degree"):
+              "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csc_perm",
+              "csc_row_ptr", "rd_node_idx", "rd_inv_flat", "in_degree"):
         if k in arrays:
             extras[k] = jnp.asarray(arrays[k])
     return GraphBatch(

@@ -17,7 +17,7 @@ from flax import linen as nn
 from infomax3d_tpu.graphs.batch import GraphBatch
 from infomax3d_tpu.models.base import MLP
 from infomax3d_tpu.models.registry import register_model
-from infomax3d_tpu.ops.segment import graph_readout, segment_mean, segment_sum
+from infomax3d_tpu.ops.segment import batch_readout, segment_mean, segment_sum
 
 
 class EGCLayer(nn.Module):
@@ -103,7 +103,7 @@ class EGNN(nn.Module):
                 batch_norm_momentum=self.batch_norm_momentum, dropout=self.dropout,
                 name="node_wise_output_network")(h, mask=g.node_mask,
                                                  deterministic=deterministic)
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,

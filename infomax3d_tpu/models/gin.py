@@ -19,7 +19,7 @@ from infomax3d_tpu.models.base import (
 )
 from infomax3d_tpu.models.registry import register_model
 from infomax3d_tpu.ops.segment import (
-    degree, graph_readout, segment_mean, segment_softmax, segment_sum,
+    batch_readout, degree, segment_mean, segment_softmax, segment_sum,
 )
 
 
@@ -214,7 +214,7 @@ class OGBGNN(nn.Module):
                      name="node_gnn")(g, deterministic=deterministic)
         G = g.num_graphs
         if self.graph_pooling in ("sum", "mean", "max"):
-            hg = graph_readout(h, g.node_graph, G, [self.graph_pooling])
+            hg = batch_readout(g, h, [self.graph_pooling])
         elif self.graph_pooling == "attention":
             gate = nn.Dense(2 * self.hidden_dim)(h)
             gate = MaskedBatchNorm(momentum=self.batch_norm_momentum)(

@@ -28,7 +28,7 @@ from infomax3d_tpu.graphs.batch import GraphBatch
 from infomax3d_tpu.models.base import MLP, AtomEncoder
 from infomax3d_tpu.ops.encodings import fourier_encode_dist
 from infomax3d_tpu.ops.mailbox import edge_aggregate, gather_dst, gather_src
-from infomax3d_tpu.ops.segment import graph_readout
+from infomax3d_tpu.ops.segment import batch_readout
 
 
 class Net3DLayer(nn.Module):
@@ -146,7 +146,7 @@ class Net3D(nn.Module):
                     name="node_wise_output_network")(h, mask=g.node_mask,
                                                      deterministic=deterministic)
 
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,

@@ -22,7 +22,7 @@ from infomax3d_tpu.models.base import MLP, AtomEncoder
 from infomax3d_tpu.models.net3d import Net3DLayer
 from infomax3d_tpu.models.registry import register_model
 from infomax3d_tpu.ops.encodings import fourier_encode_dist
-from infomax3d_tpu.ops.segment import graph_readout
+from infomax3d_tpu.ops.segment import batch_readout
 
 
 @register_model("Net3DAE")
@@ -94,7 +94,7 @@ class Net3DAE(nn.Module):
                     name="node_wise_encoder")(h, mask=g.node_mask,
                                               deterministic=deterministic)
 
-        latent = graph_readout(h, g.node_graph, g.num_graphs,
+        latent = batch_readout(g, h,
                                self.readout_aggregators, sizes=g.n_nodes)
 
         for i in range(self.decoder_depth):

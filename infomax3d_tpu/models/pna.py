@@ -22,8 +22,10 @@ from flax import linen as nn
 
 from infomax3d_tpu.graphs.batch import GraphBatch
 from infomax3d_tpu.models.base import MLP, AtomEncoder, BondEncoder
-from infomax3d_tpu.ops.mailbox import gather_dst, gather_src, pna_aggregate
-from infomax3d_tpu.ops.segment import graph_readout
+from infomax3d_tpu.ops.mailbox import (
+    gather_dst, gather_src, pna_aggregate, pna_aggregate_parts,
+)
+from infomax3d_tpu.ops.segment import batch_readout
 
 
 class PNALayer(nn.Module):
@@ -53,10 +55,18 @@ class PNALayer(nn.Module):
 
         from infomax3d_tpu.ops.mailbox import has_csr, has_mailbox
         if has_csr(g) or not has_mailbox(g):
-            # lazy (nodes, idx) parts: SplitDense projects h in NODE space
-            # then gathers — no [E, 3*D] concat materialized, and the src/dst
-            # matmul rows drop from E to N (exact: take(hK) == take(h)K)
-            parts = [(h, g.senders), (h, g.receivers)]
+            # lazy gather parts: SplitDense projects h in NODE space then
+            # gathers — no [E, 3*D] concat materialized, and the src/dst
+            # matmul rows drop from E to N (exact: take(hK) == take(h)K).
+            # CSR buckets are receiver-sorted, so the receiver gather's
+            # scatter backward takes the sorted fast path.
+            from infomax3d_tpu.models.base import GatherPart
+            rp = g.extras.get("csr_row_ptr") if has_csr(g) else None
+            parts = [GatherPart(h, g.senders,
+                                row_ptr=g.extras.get("csc_row_ptr"),
+                                perm=g.extras.get("csc_perm")),
+                     GatherPart(h, g.receivers, indices_sorted=has_csr(g),
+                                row_ptr=rp)]
         else:
             # mailbox batches keep the explicit gathers (their custom VJP
             # backward is a scatter-free mailbox sum)
@@ -77,10 +87,13 @@ class PNALayer(nn.Module):
                   batch_norm_momentum=self.batch_norm_momentum,
                   name="pretrans")(z, mask=g.edge_mask, deterministic=deterministic)
 
-        agg = pna_aggregate(g, msg, self.aggregators, self.scalers,
-                            self.avg_d_log)
+        agg_parts = pna_aggregate_parts(g, msg, self.aggregators,
+                                        self.scalers, self.avg_d_log)
 
-        h_cat = [h, agg]            # SplitDense: no [N, D+D*aggs] concat
+        # SplitDense: no [N, D+D*aggs*scalers] concat; on the CSR path the
+        # scaler blocks stay lazy ScaledParts (row scaling commutes with the
+        # posttrans matmul)
+        h_cat = [h] + list(agg_parts)
         h_new = MLP(out_dim=self.out_dim, hidden_size=self.out_dim,
                     layers=self.posttrans_layers, mid_activation=self.activation,
                     last_activation=self.last_activation, dropout=self.dropout,
@@ -170,7 +183,7 @@ class PNA(nn.Module):
                    pretrans_layers=self.pretrans_layers,
                    batch_norm_momentum=self.batch_norm_momentum,
                    name="node_gnn")(g, deterministic=deterministic)
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,

@@ -24,7 +24,7 @@ from infomax3d_tpu.graphs.batch import GraphBatch
 from infomax3d_tpu.models.base import MLP, AtomEncoder, BondEncoder, MLPReadout
 from infomax3d_tpu.models.registry import register_model
 from infomax3d_tpu.ops.segment import pna_multi_aggregate_always_scaled
-from infomax3d_tpu.ops.segment import graph_readout
+from infomax3d_tpu.ops.segment import batch_readout
 
 
 class PNATower(nn.Module):
@@ -186,7 +186,7 @@ class PNAOriginal(nn.Module):
                 # torch GRU(x, y): input h_t, hidden h -> new hidden
                 _, h_t = gru(h, h_t)
             h = h_t
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         out = MLPReadout(self.last_layer_dim * len(self.readout_aggregators),
                          self.target_dim, name="output")(readout)
@@ -266,7 +266,7 @@ class PNAOriginalSimple(nn.Module):
                 mid_batch_norm=self.mid_batch_norm, residual=self.residual,
                 posttrans_layers=self.posttrans_layers,
                 name=f"layer_{i}")(g, h, deterministic=deterministic)
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,

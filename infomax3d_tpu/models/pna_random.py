@@ -20,7 +20,7 @@ from infomax3d_tpu.graphs.batch import GraphBatch
 from infomax3d_tpu.models.base import MLP, AtomEncoder, BondEncoder
 from infomax3d_tpu.models.pna import PNALayer
 from infomax3d_tpu.models.registry import register_model
-from infomax3d_tpu.ops.segment import graph_readout
+from infomax3d_tpu.ops.segment import batch_readout
 
 
 class PNAGNNRandom(nn.Module):
@@ -116,7 +116,7 @@ class PNARandom(nn.Module):
                          pretrans_layers=self.pretrans_layers,
                          batch_norm_momentum=self.batch_norm_momentum,
                          name="node_gnn")(g, deterministic=deterministic)
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,

@@ -48,7 +48,7 @@ from infomax3d_tpu.models.geomol_mpnn import GeomolGNN, GeomolMLP
 from infomax3d_tpu.models.gin import GINConv, GNNNode, GNNNodeVirtual, OGBGNN
 from infomax3d_tpu.models.pna_original import PNAOriginal, PNASimpleLayer
 from infomax3d_tpu.models.registry import register_model
-from infomax3d_tpu.ops.segment import graph_readout, segment_mean
+from infomax3d_tpu.ops.segment import batch_readout, segment_mean
 
 
 class _NoiseMixin:
@@ -113,7 +113,7 @@ class PNAOriginalSimpleRandom(nn.Module, _NoiseMixin):
                 mid_batch_norm=self.mid_batch_norm, residual=self.residual,
                 posttrans_layers=self.posttrans_layers,
                 name=f"layer_{i}")(g, h, deterministic=deterministic)
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,
@@ -302,7 +302,7 @@ class PNARandomEdgeUpdate(nn.Module, _NoiseMixin):
                 pretrans_layers=self.pretrans_layers,
                 batch_norm_momentum=self.batch_norm_momentum,
                 name=f"mp_{i}")(g, h, e, deterministic=deterministic)
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,
@@ -430,7 +430,7 @@ class OGBGNNRandom(nn.Module, _NoiseMixin):
                           virtual_node=self.virtual_node,
                           name="node_gnn")(g, rand_x, rand_edge,
                                            deterministic=deterministic)
-        hg = graph_readout(h, g.node_graph, g.num_graphs,
+        hg = batch_readout(g, h,
                            [self.graph_pooling], sizes=g.n_nodes)
         out = nn.Dense(self.target_dim, name="graph_pred_linear")(hg)
         if return_nodes:

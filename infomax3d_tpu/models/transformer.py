@@ -147,7 +147,7 @@ class PNATransformer(nn.Module):
     @nn.compact
     def __call__(self, g: GraphBatch, deterministic=True, return_nodes=False):
         from infomax3d_tpu.models.base import BondEncoder
-        from infomax3d_tpu.ops.segment import graph_readout
+        from infomax3d_tpu.ops.segment import batch_readout
         h = AtomEncoder(self.hidden_dim, name="atom_encoder")(g.node_feat)
         e = BondEncoder(self.hidden_dim, name="bond_encoder")(g.edge_feat)
         dmask = dense_node_mask(g, self.max_nodes)
@@ -175,7 +175,7 @@ class PNATransformer(nn.Module):
                     name=f"combine_{i}")(
                 jnp.concatenate([h_sparse, h_dense], axis=-1),
                 mask=g.node_mask, deterministic=deterministic)
-        readout = graph_readout(h, g.node_graph, g.num_graphs,
+        readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
         rh = self.readout_hidden_dim or self.hidden_dim
         out = MLP(out_dim=self.target_dim, hidden_size=rh,

@@ -6,6 +6,7 @@ from infomax3d_tpu.ops.segment import (
     segment_softmax,
     degree,
     pna_multi_aggregate,
+    batch_readout,
     graph_readout,
 )
 from infomax3d_tpu.ops.encodings import fourier_encode_dist
@@ -18,6 +19,7 @@ __all__ = [
     "segment_softmax",
     "degree",
     "pna_multi_aggregate",
+    "batch_readout",
     "graph_readout",
     "fourier_encode_dist",
 ]

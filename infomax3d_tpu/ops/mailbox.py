@@ -243,6 +243,20 @@ def edge_aggregate(g, messages, op: str):
     return s / jnp.maximum(deg, 1.0)[:, None]
 
 
+def pna_aggregate_parts(g, messages, aggregators, scalers, avg_d_log=1.0):
+    """`pna_aggregate` for a SplitDense consumer: on the Pallas CSR path the
+    aggregator/scaler blocks come back as lazy parts (no [N, A*S*D] concat or
+    scaled copies hit HBM); other paths return the single concatenated
+    tensor as a one-element list."""
+    if has_csr(g) and set(aggregators) <= _PALLAS_AGGS:
+        from infomax3d_tpu.ops.pallas.spmm import pna_csr_aggregate_parts
+        K = g.extras["mb_in_edges"].shape[1]
+        return pna_csr_aggregate_parts(
+            messages, g.extras["csr_row_ptr"], g.receivers, K, aggregators,
+            scalers, avg_d_log, interpret=_pallas_interpret())
+    return [pna_aggregate(g, messages, aggregators, scalers, avg_d_log)]
+
+
 def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
     if has_csr(g) and set(aggregators) <= _PALLAS_AGGS:
         from infomax3d_tpu.ops.pallas.spmm import pna_csr_aggregate

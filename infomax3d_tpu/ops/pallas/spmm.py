@@ -23,7 +23,8 @@ Kernel shape:
 Contract: every node's true in-degree must be <= max_deg (the batcher's
 csr buckets guarantee this); edges beyond slot max_deg would be silently
 dropped from max/min.  On TPU the max/min VALUES are bf16-rounded (DEFAULT
-MXU precision selection); sum/sumsq are exact (HIGHEST).
+MXU precision selection); sums are exact: bf16 messages use 0/1-incidence
+DEFAULT passes (hi/lo split for sumsq), f32 messages use HIGHEST.
 """
 from __future__ import annotations
 
@@ -64,16 +65,30 @@ def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
 
     copy.wait()
     win = win_ref[:]                                           # [WIN, DC]
-    # dtype-generic (f32 or bf16 messages — the bf16_compute mode halves the
-    # window DMA): sum/sumsq upcast in-register to f32 so squares and
-    # accumulation keep today's f32-exact numerics regardless of input dtype
     winf = win.astype(jnp.float32)
-    incf = inc.astype(jnp.float32)
-    sum_ref[:] = jnp.dot(incf, winf, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-    sumsq_ref[:] = jnp.dot(incf, winf * winf,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    if win.dtype == jnp.bfloat16:
+        # bf16 messages: the incidence matrix is 0/1 (exact in bf16) and the
+        # window is already bf16, so ONE DEFAULT-precision pass accumulates
+        # the exact sum in f32 — identical numerics to HIGHEST at 1/6 the MXU
+        # passes.  sumsq: the f32 square of a bf16 value overflows bf16's
+        # mantissa, so split it hi/lo (two DEFAULT passes, ~2^-16 relative) —
+        # 3 passes total where HIGHEST costs 12.
+        incb = inc.astype(jnp.bfloat16)
+        sum_ref[:] = jnp.dot(incb, win, preferred_element_type=jnp.float32)
+        sq = winf * winf
+        hi = sq.astype(jnp.bfloat16)
+        lo = (sq - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        sumsq_ref[:] = (jnp.dot(incb, hi, preferred_element_type=jnp.float32)
+                        + jnp.dot(incb, lo,
+                                  preferred_element_type=jnp.float32))
+    else:
+        # f32 messages: HIGHEST keeps sum/sumsq f32-exact
+        incf = inc.astype(jnp.float32)
+        sum_ref[:] = jnp.dot(incf, winf, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        sumsq_ref[:] = jnp.dot(incf, winf * winf,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
     # max/min via per-slot one-hot matmuls: slot s of node n is window row
     # starts[n] + s.  K small MXU matmuls replace the old dense VPU masking
@@ -222,6 +237,60 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
                 raise ValueError(f"unknown PNA scaler: {s}")
         h = jnp.concatenate(scaled, axis=-1)
     return h.astype(messages.dtype)
+
+
+def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
+                            aggregators: Sequence[str],
+                            scalers: Sequence[str] = ("identity",),
+                            avg_d_log: float = 1.0, interpret: bool = False):
+    """`pna_csr_aggregate` as SplitDense parts: the (scaler-major, aggregator
+    -minor) block order of the concatenated tensor is preserved, but neither
+    the aggregator concat nor the degree-scaled copies are materialized —
+    each block becomes a ScaledPart(agg, scale) consumed lazily by the
+    posttrans SplitDense (row scaling commutes with the right-matmul).
+    Value-identical to running the concat version through nn.Dense."""
+    from infomax3d_tpu.models.base import ScaledPart
+    s1, s2, mx, mn = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
+                                      interpret)
+    deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
+    deg_safe = jnp.maximum(deg, 1.0)
+    has = deg > 0
+    mean = s1 / deg_safe
+    outs = {}
+    for a in aggregators:
+        if a == "sum":
+            outs[a] = s1
+        elif a == "mean":
+            outs[a] = jnp.where(has, mean, 0.0)
+        elif a == "max":
+            outs[a] = mx
+        elif a == "min":
+            outs[a] = mn
+        elif a in ("std", "var"):
+            var = jax.nn.relu(s2 / deg_safe - mean * mean)
+            outs[a] = jnp.where(has, var if a == "var"
+                                else jnp.sqrt(var + EPS), 0.0)
+        else:
+            raise ValueError(f"aggregator '{a}' unsupported by the Pallas "
+                             f"kernel (use the XLA path)")
+    aggs = [outs[a].astype(messages.dtype) for a in aggregators]
+    if len(scalers) <= 1:
+        return list(aggs)
+    log_deg = jnp.log(deg + 1.0)
+    parts = []
+    for s in scalers:
+        if s == "identity":
+            parts.extend(aggs)
+            continue
+        if s == "amplification":
+            scale = log_deg / avg_d_log
+        elif s == "attenuation":
+            scale = jnp.where(has, avg_d_log / jnp.maximum(log_deg, EPS), 0.0)
+        else:
+            raise ValueError(f"unknown PNA scaler: {s}")
+        scale = scale.astype(messages.dtype)
+        parts.extend(ScaledPart(a, scale) for a in aggs)
+    return parts
 
 
 def _sum_kernel(row_ptr_ref, msg_hbm, sum_ref, win_ref, sem,

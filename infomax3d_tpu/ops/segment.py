@@ -32,6 +32,89 @@ def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) 
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
+import functools as _functools
+
+
+def tri_block_prefix_sum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Inclusive prefix sum over rows of ``x [E, D]`` computed on the MXU:
+    per-block cumsum = lower-triangular-ones matmul (f32 accumulation), then
+    a tiny f32 cumsum of block totals broadcast back.  Returns f32 [E, D].
+
+    TPU's native cumsum lowering is transpose-heavy (~0.64 ms for
+    f32[18432,200] on v5e); this runs the same prefix in ~0.1 ms because the
+    O(E·block·D) triangular matmul rides the systolic array.
+    """
+    E, D = x.shape
+    Ep = ((E + block - 1) // block) * block
+    if Ep != E:
+        x = jnp.pad(x, ((0, Ep - E), (0, 0)))
+    nb = Ep // block
+    xb = x.reshape(nb, block, D)
+    tri = jnp.tril(jnp.ones((block, block), x.dtype))
+    within = jnp.einsum("ab,nbd->nad", tri, xb,
+                        preferred_element_type=jnp.float32)
+    block_tot = within[:, -1, :]
+    offs = jnp.concatenate(
+        [jnp.zeros((1, D), jnp.float32), jnp.cumsum(block_tot[:-1], 0)], 0)
+    return (within + offs[:, None, :]).reshape(Ep, D)[:E]
+
+
+def sorted_segment_sum(data: jnp.ndarray, row_ptr: jnp.ndarray,
+                       block: int = 256) -> jnp.ndarray:
+    """Segment sum for CONTIGUOUS sorted segments given by CSR ``row_ptr``
+    [N+1], scatter-free: prefix-sum differences at the segment boundaries.
+
+    TPU's scatter is row-serialized (~0.2 ms per 18k rows regardless of
+    width); this costs one MXU triangular matmul + two N-row gathers
+    (~0.06 ms for bf16[18432,200] → [8960,200] on v5e).  Rows at or beyond
+    ``row_ptr[-1]`` (sorted-to-the-end padding) never affect the output.
+    Differences of f32 prefix sums — not bit-exact vs sequential summation,
+    ~1e-6 relative for fp32 inputs.
+    """
+    prefix = tri_block_prefix_sum(data, block)
+    D = data.shape[-1]
+    z = jnp.zeros((1, D), prefix.dtype)
+    c2 = jnp.concatenate([z, prefix], axis=0)
+    out = jnp.take(c2, row_ptr[1:], axis=0) - jnp.take(c2, row_ptr[:-1], axis=0)
+    return out.astype(data.dtype)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_rows(nodes: jnp.ndarray, idx: jnp.ndarray,
+              indices_sorted: bool = False,
+              row_ptr: Optional[jnp.ndarray] = None,
+              perm: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """`nodes[idx.clip(0, N-1)]` with an optimized backward: (a) out-of-range
+    padding rows are dropped (their cotangents are exactly zero — padding
+    edges never reach the loss); (b) when `row_ptr` is given (receiver-sorted
+    CSR buckets), the backward is the scatter-free `sorted_segment_sum`
+    instead of TPU's row-serialized scatter (~3x on v5e: 0.06 vs 0.19 ms for
+    an 18k-row bf16[.,200] accumulation); (c) `perm` additionally re-sorts the
+    cotangent first — pass the CSC edge order + sender row_ptr so UNSORTED
+    sender gathers get the same scatter-free backward (a gather is cheap, a
+    scatter is not)."""
+    return jnp.take(nodes, jnp.clip(idx, 0, nodes.shape[0] - 1), axis=0)
+
+
+def _take_rows_fwd(nodes, idx, indices_sorted, row_ptr=None, perm=None):
+    return (take_rows(nodes, idx, indices_sorted, row_ptr, perm),
+            (idx, row_ptr, perm, nodes.shape[0]))
+
+
+def _take_rows_bwd(indices_sorted, res, ct):
+    idx, row_ptr, perm, n = res
+    if row_ptr is not None:
+        if perm is not None:
+            ct = jnp.take(ct, perm, axis=0)
+        return sorted_segment_sum(ct, row_ptr), None, None, None
+    d = jax.ops.segment_sum(ct, idx, num_segments=n,
+                            indices_are_sorted=indices_sorted)
+    return d, None, None, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def degree(segment_ids: jnp.ndarray, num_segments: int,
            mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """In-degree per segment. Out-of-range padding ids are dropped by XLA."""
@@ -261,20 +344,93 @@ def pna_multi_aggregate_always_scaled(
     return jnp.concatenate(scaled, axis=-1)
 
 
+@jax.custom_vjp
+def _regroup(node_feat: jnp.ndarray, idx2d: jnp.ndarray,
+             inv_flat: jnp.ndarray) -> jnp.ndarray:
+    """Gather node rows into their [G, nmax, D] dense graph slots.  `idx2d`
+    [G, nmax] holds node rows (padding -> N); `inv_flat` [N] is the inverse
+    map (node -> g*nmax+slot, padding -> G*nmax).  The backward is the
+    inverse GATHER — no scatter in either direction."""
+    n = node_feat.shape[0]
+    out = jnp.take(node_feat, jnp.clip(idx2d, 0, n - 1), axis=0)
+    return jnp.where((idx2d < n)[..., None], out, 0.0)
+
+
+def _regroup_fwd(node_feat, idx2d, inv_flat):
+    return _regroup(node_feat, idx2d, inv_flat), inv_flat
+
+
+def _regroup_bwd(inv_flat, ct):
+    G, nm, D = ct.shape
+    flat = jnp.concatenate(
+        [ct.reshape(G * nm, D), jnp.zeros((1, D), ct.dtype)], axis=0)
+    return jnp.take(flat, jnp.clip(inv_flat, 0, G * nm), axis=0), None, None
+
+
+_regroup.defvjp(_regroup_fwd, _regroup_bwd)
+
+
+def _graph_readout_dense(node_feat, idx2d, inv_flat, aggregators,
+                         sizes=None):
+    """Scatter-free readout: regroup nodes to [G, nmax, D], masked reduces.
+    Value-identical to the segment path (padding -> 0, empty graphs -> 0)."""
+    n = node_feat.shape[0]
+    dense = _regroup(node_feat, idx2d, inv_flat)          # [G, nmax, D]
+    mask = (idx2d < n)[..., None]                          # [G, nmax, 1]
+    if sizes is None:
+        sizes = mask.sum(axis=(1, 2))
+    sizes_f = sizes.astype(node_feat.dtype)
+    has = (sizes_f > 0)[:, None]
+    outs: Dict[str, jnp.ndarray] = {}
+    if "sum" in aggregators or "mean" in aggregators:
+        s = dense.sum(axis=1)
+        outs["sum"] = s
+        outs["mean"] = jnp.where(has, s / jnp.maximum(sizes_f, 1.0)[:, None],
+                                 0.0)
+    if "max" in aggregators:
+        big = jnp.asarray(jnp.finfo(node_feat.dtype).max, node_feat.dtype)
+        outs["max"] = jnp.where(
+            has, jnp.where(mask, dense, -big).max(axis=1), 0.0)
+    if "min" in aggregators:
+        big = jnp.asarray(jnp.finfo(node_feat.dtype).max, node_feat.dtype)
+        outs["min"] = jnp.where(
+            has, jnp.where(mask, dense, big).min(axis=1), 0.0)
+    for a in aggregators:
+        if a not in outs:
+            raise ValueError(f"unknown readout aggregator: {a}")
+    return jnp.concatenate([outs[a] for a in aggregators], axis=-1)
+
+
+def batch_readout(g, node_feat: jnp.ndarray, aggregators: Sequence[str],
+                  sizes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """`graph_readout` over a GraphBatch — picks the scatter-free dense
+    regroup automatically when the batch carries the rd_* extras."""
+    return graph_readout(node_feat, g.node_graph, g.num_graphs, aggregators,
+                         sizes=sizes,
+                         dense_idx=g.extras.get("rd_node_idx"),
+                         dense_inv=g.extras.get("rd_inv_flat"))
+
+
 def graph_readout(
     node_feat: jnp.ndarray,        # [N, D]
     node_graph: jnp.ndarray,       # [N] (padding -> out of range)
     num_graphs: int,
     aggregators: Sequence[str],
     sizes: Optional[jnp.ndarray] = None,
+    dense_idx: Optional[jnp.ndarray] = None,   # [G, nmax] rd_node_idx
+    dense_inv: Optional[jnp.ndarray] = None,   # [N] rd_inv_flat
 ) -> jnp.ndarray:
     """Graph-level readout: concat of segment reductions over nodes.
 
     Replaces `dgl.readout_nodes(g, 'feat', op=...)` concatenation
     (`models/pna.py:133-135`, `models/net3d.py:73-75`).  Scatter-minimized:
     min/max share one segment_max; mean reuses sum with precomputed graph
-    sizes when given.
+    sizes when given.  When the batch carries ``rd_node_idx``/``rd_inv_flat``
+    (BucketSpec.nmax > 0), the readout is fully scatter-free (dense regroup).
     """
+    if dense_idx is not None and dense_inv is not None:
+        return _graph_readout_dense(node_feat, dense_idx, dense_inv,
+                                    aggregators, sizes)
     D = node_feat.shape[-1]
     outs: Dict[str, jnp.ndarray] = {}
     if sizes is None:

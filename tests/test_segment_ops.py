@@ -111,3 +111,104 @@ def test_graph_readout(rng):
             np.testing.assert_allclose(
                 out[s], np.concatenate([grp.min(0), grp.max(0), grp.mean(0), grp.sum(0)]),
                 rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_segment_sum_matches_scatter(rng):
+    from infomax3d_tpu.ops.segment import sorted_segment_sum, take_rows
+    import jax
+
+    E, N, D = 700, 201, 24                  # E not a multiple of the block
+    deg = rng.integers(0, 6, size=N)
+    ids = np.repeat(np.arange(N), deg)
+    e_real = len(ids)
+    assert e_real < E
+    ids = np.concatenate([ids, np.full(E - e_real, N)])  # padding sorts last
+    row_ptr = np.zeros(N + 1, np.int32)
+    row_ptr[1:] = np.cumsum(np.bincount(ids[ids < N], minlength=N))
+    data = rng.normal(size=(E, D)).astype(np.float32)
+    data[e_real:] = rng.normal(size=(E - e_real, D))  # junk in padding rows
+
+    ref = np.zeros((N, D), np.float32)
+    np.add.at(ref, ids[:e_real], data[:e_real])
+    out = np.asarray(sorted_segment_sum(jnp.asarray(data),
+                                        jnp.asarray(row_ptr), block=64))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    # take_rows backward via row_ptr == scatter backward
+    nodes = rng.normal(size=(N, D)).astype(np.float32)
+    ct = rng.normal(size=(E, D)).astype(np.float32)
+    ct[e_real:] = 0.0                        # padding edges carry zero cotangent
+
+    def f_rp(n):
+        return (take_rows(n, jnp.asarray(ids.astype(np.int32)), True,
+                          jnp.asarray(row_ptr)) * ct).sum()
+
+    def f_scatter(n):
+        return (take_rows(n, jnp.asarray(ids.astype(np.int32)), True) * ct).sum()
+
+    g1 = np.asarray(jax.grad(f_rp)(jnp.asarray(nodes)))
+    g2 = np.asarray(jax.grad(f_scatter)(jnp.asarray(nodes)))
+    np.testing.assert_allclose(g1, g2, rtol=2e-5, atol=2e-5)
+
+
+def test_take_rows_perm_backward_matches_scatter(rng):
+    """Sender-gather backward via CSC perm + sorted_segment_sum == scatter."""
+    from infomax3d_tpu.ops.segment import take_rows
+    import jax
+
+    E, N, D = 300, 67, 16
+    senders = rng.integers(0, N, size=E - 40)
+    senders = np.concatenate([senders, np.full(40, N)])  # padding edges
+    perm = np.argsort(senders, kind="stable").astype(np.int32)
+    row_ptr = np.zeros(N + 1, np.int32)
+    row_ptr[1:] = np.cumsum(np.bincount(senders[senders < N], minlength=N))
+    nodes = rng.normal(size=(N, D)).astype(np.float32)
+    ct = rng.normal(size=(E, D)).astype(np.float32)
+    ct[-40:] = 0.0
+    ids = jnp.asarray(senders.astype(np.int32))
+
+    def f_csc(n):
+        return (take_rows(n, ids, False, jnp.asarray(row_ptr),
+                          jnp.asarray(perm)) * ct).sum()
+
+    def f_scatter(n):
+        return (take_rows(n, ids) * ct).sum()
+
+    g1 = np.asarray(jax.grad(f_csc)(jnp.asarray(nodes)))
+    g2 = np.asarray(jax.grad(f_scatter)(jnp.asarray(nodes)))
+    np.testing.assert_allclose(g1, g2, rtol=2e-5, atol=2e-5)
+
+
+def test_dense_readout_matches_segment(rng):
+    """Dense-regroup readout (BucketSpec.nmax) == segment readout, values and
+    gradients."""
+    import jax
+    from infomax3d_tpu.graphs.batch import BucketSpec, batch_graphs, to_graph_batch
+    from infomax3d_tpu.ops.segment import batch_readout, graph_readout
+
+    graphs = []
+    for _ in range(6):
+        n = int(rng.integers(2, 9))
+        e = int(rng.integers(1, 2 * n))
+        graphs.append({
+            "node_feat": rng.integers(0, 5, size=(n, 3)).astype(np.int32),
+            "senders": rng.integers(0, n, size=e).astype(np.int32),
+            "receivers": rng.integers(0, n, size=e).astype(np.int32),
+        })
+    bucket = BucketSpec(8, 64, 64, nmax=16)
+    g = to_graph_batch(batch_graphs(graphs, bucket))
+    assert "rd_node_idx" in g.extras and "rd_inv_flat" in g.extras
+
+    h = jnp.asarray(rng.normal(size=(64, 12)).astype(np.float32))
+    aggs = ["min", "max", "mean", "sum"]
+    ref = graph_readout(h, g.node_graph, g.num_graphs, aggs)
+    out = batch_readout(g, h, aggs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    w = jnp.asarray(rng.normal(size=(8, 48)).astype(np.float32))
+    g_ref = jax.grad(lambda x: (graph_readout(
+        x, g.node_graph, g.num_graphs, aggs) * w).sum())(h)
+    g_out = jax.grad(lambda x: (batch_readout(g, x, aggs) * w).sum())(h)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
