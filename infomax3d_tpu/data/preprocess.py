@@ -203,11 +203,42 @@ def preprocess_geom_pickle(raw_dir: str, out_path: str,
                 num_conformers)
 
 
-def preprocess_smiles(txt_path: str, out_path: str):
+def generate_conformer(mol, seed: int = -1):
+    """ETKDGv2 conformer embedding + MMFF optimization on an H-added mol —
+    the reference's per-molecule conformer step
+    (qm9_dataset_rdkit_conformers.py:403-415: MolFromSmiles -> AddHs ->
+    ETKDGv2(useRandomCoords) -> EmbedMolecule -> MMFFOptimizeMolecule).
+    Returns the embedded mol, or None when embedding fails (the reference
+    skips those molecules)."""
+    from rdkit import Chem
+    from rdkit.Chem import AllChem
+    mol = Chem.AddHs(mol)
+    try:
+        ps = AllChem.ETKDGv2()
+        ps.useRandomCoords = True
+        if seed >= 0:
+            ps.randomSeed = seed
+        if AllChem.EmbedMolecule(mol, ps) != 0:
+            return None
+        AllChem.MMFFOptimizeMolecule(mol, confId=0)
+        if not mol.GetNumConformers():
+            return None
+    except Exception:
+        return None
+    return mol
+
+
+def preprocess_smiles(txt_path: str, out_path: str,
+                      conformers: bool = False, seed: int = -1):
     from rdkit import Chem
     with open(txt_path) as f:
         smiles = [l.strip() for l in f if l.strip()]
     mols = [Chem.MolFromSmiles(s) for s in smiles]
+    if conformers:
+        # rdkit-conformer variant (reference qm9_dataset_rdkit_conformers):
+        # embed an ETKDG conformer per molecule; failures are dropped
+        mols = [generate_conformer(m, seed) if m is not None else None
+                for m in mols]
     build_cache(mols, None, out_path)
 
 
@@ -220,6 +251,12 @@ def main(argv=None):
     p.add_argument("--summary", default="summary_drugs.json",
                    help="GEOM summary json name (geom only)")
     p.add_argument("--max_molecules", type=int, default=None)
+    p.add_argument("--conformers", action="store_true",
+                   help="smiles only: embed an ETKDGv2+MMFF conformer per "
+                        "molecule (reference rdkit-conformers variant)")
+    p.add_argument("--seed", type=int, default=-1,
+                   help="ETKDG random seed (-1 = nondeterministic, as the "
+                        "reference)")
     a = p.parse_args(argv)
     if a.dataset in ("smiles", "geom"):
         # SMILES featurization / GEOM rdkit-Mol pickles genuinely need RDKit;
@@ -239,7 +276,7 @@ def main(argv=None):
                                summary_name=a.summary,
                                max_molecules=a.max_molecules)
     else:
-        preprocess_smiles(a.raw, a.out)
+        preprocess_smiles(a.raw, a.out, conformers=a.conformers, seed=a.seed)
 
 
 if __name__ == "__main__":

@@ -190,18 +190,34 @@ def _bwd(max_deg, interpret, res, cots):
 csr_multi_reduce.defvjp(_fwd, _bwd)
 
 
-def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
-                      aggregators: Sequence[str],
-                      scalers: Sequence[str] = ("identity",),
-                      avg_d_log: float = 1.0, interpret: bool = False):
-    """PNA multi-aggregator from one fused kernel pass — value-identical to
-    `ops.segment.pna_multi_aggregate` for {sum, mean, max, min, std, var}.
-    Moment aggregators fall back to the XLA path upstream."""
+def _stats_outs(messages, row_ptr, receivers, max_deg, aggregators, has,
+                interpret):
+    s1, mean, std, mx, mn = csr_pna_stats(messages, row_ptr, receivers,
+                                          max_deg, interpret)
+    outs = {}
+    for a in aggregators:
+        if a == "sum":
+            outs[a] = s1
+        elif a == "mean":
+            outs[a] = mean
+        elif a == "std":
+            outs[a] = std
+        elif a == "max":
+            outs[a] = mx
+        elif a == "min":
+            outs[a] = mn
+        elif a == "var":
+            outs[a] = jnp.where(has, std.astype(jnp.float32) ** 2 - EPS, 0.0)
+        else:
+            raise ValueError(f"aggregator '{a}' unsupported by the Pallas "
+                             f"kernel (use the XLA path)")
+    return outs
+
+
+def _reduce_outs(messages, row_ptr, receivers, max_deg, aggregators,
+                 deg_safe, has, interpret):
     s1, s2, mx, mn = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
                                       interpret)
-    deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
-    deg_safe = jnp.maximum(deg, 1.0)
-    has = deg > 0
     mean = s1 / deg_safe
     outs = {}
     for a in aggregators:
@@ -220,7 +236,28 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
         else:
             raise ValueError(f"aggregator '{a}' unsupported by the Pallas "
                              f"kernel (use the XLA path)")
-    h = jnp.concatenate([outs[a] for a in aggregators], axis=-1)
+    return outs
+
+
+def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
+                      aggregators: Sequence[str],
+                      scalers: Sequence[str] = ("identity",),
+                      avg_d_log: float = 1.0, interpret: bool = False):
+    """PNA multi-aggregator from one fused kernel pass — value-identical to
+    `ops.segment.pna_multi_aggregate` for {sum, mean, max, min, std, var}.
+    Moment aggregators fall back to the XLA path upstream."""
+    deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
+    deg_safe = jnp.maximum(deg, 1.0)
+    has = deg > 0
+    outs = {}
+    if messages.dtype == jnp.bfloat16 and messages.shape[1] <= 512:
+        outs = _stats_outs(messages, row_ptr, receivers, max_deg,
+                           aggregators, has, interpret)
+    else:
+        outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
+                            aggregators, deg_safe, has, interpret)
+    h = jnp.concatenate([jnp.asarray(outs[a], messages.dtype)
+                         for a in aggregators], axis=-1)
     if len(scalers) > 1:
         log_deg = jnp.log(deg + 1.0)
         scaled = []
@@ -250,30 +287,20 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
     posttrans SplitDense (row scaling commutes with the right-matmul).
     Value-identical to running the concat version through nn.Dense."""
     from infomax3d_tpu.models.base import ScaledPart
-    s1, s2, mx, mn = csr_multi_reduce(messages, row_ptr, receivers, max_deg,
-                                      interpret)
     deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
     deg_safe = jnp.maximum(deg, 1.0)
     has = deg > 0
-    mean = s1 / deg_safe
     outs = {}
-    for a in aggregators:
-        if a == "sum":
-            outs[a] = s1
-        elif a == "mean":
-            outs[a] = jnp.where(has, mean, 0.0)
-        elif a == "max":
-            outs[a] = mx
-        elif a == "min":
-            outs[a] = mn
-        elif a in ("std", "var"):
-            var = jax.nn.relu(s2 / deg_safe - mean * mean)
-            outs[a] = jnp.where(has, var if a == "var"
-                                else jnp.sqrt(var + EPS), 0.0)
-        else:
-            raise ValueError(f"aggregator '{a}' unsupported by the Pallas "
-                             f"kernel (use the XLA path)")
-    aggs = [outs[a].astype(messages.dtype) for a in aggregators]
+    if messages.dtype == jnp.bfloat16 and messages.shape[1] <= 512:
+        # bf16 fast path: the fused-stats kernel emits the final aggregates
+        # directly (no node-side f32 mean/std chains, half the HBM writes,
+        # double-buffered window DMA)
+        outs = _stats_outs(messages, row_ptr, receivers, max_deg,
+                           aggregators, has, interpret)
+    else:
+        outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
+                            aggregators, deg_safe, has, interpret)
+    aggs = [jnp.asarray(outs[a], messages.dtype) for a in aggregators]
     if len(scalers) <= 1:
         return list(aggs)
     log_deg = jnp.log(deg + 1.0)
@@ -291,6 +318,192 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
         scale = scale.astype(messages.dtype)
         parts.extend(ScaledPart(a, scale) for a in aggs)
     return parts
+
+
+def _stats_kernel(row_ptr_ref, msg_hbm, sum_ref, mean_ref, std_ref,
+                  max_ref, min_ref, amax_ref, amin_ref, win_ref, sems,
+                  *, TN, DC, WIN, K, E, NT):
+    """bf16 fused-stats variant: emits the FINAL PNA aggregates
+    (sum, mean, std, max, min) in bf16 — the mean/std node-side chains the
+    f32 kernel leaves to XLA (7 layers x ~0.15 ms of [N, D] f32 elementwise)
+    happen in-register here, and output HBM writes halve.  The edge-window
+    DMA is double-buffered across grid steps (scratch persists on the
+    sequential TPU grid): tile i+1's window streams in during tile i's
+    matmuls, hiding the per-tile DMA issue+latency that serialized the
+    single-buffer kernel."""
+    i = pl.program_id(0)
+
+    def dma(slot, tile):
+        base = jnp.minimum(row_ptr_ref[tile * TN], E - WIN)
+        base = pl.multiple_of((base // 8) * 8, 8)
+        return pltpu.make_async_copy(
+            msg_hbm.at[pl.ds(base, WIN), :], win_ref.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < NT)
+    def _():
+        dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+    n0 = i * TN
+    base = jnp.minimum(row_ptr_ref[n0], E - WIN)
+    base = pl.multiple_of((base // 8) * 8, 8)
+    starts = jnp.stack([row_ptr_ref[n0 + k] for k in range(TN)]) - base
+    ends = jnp.stack([row_ptr_ref[n0 + k + 1] for k in range(TN)]) - base
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (TN, WIN), 1)
+    inc = (eidx >= starts[:, None]) & (eidx < ends[:, None])   # [TN, WIN]
+
+    dma(slot, i).wait()
+    win = win_ref[slot]                                        # [WIN, DC] bf16
+    # exact bf16 sums: 0/1 incidence is exact in bf16, one DEFAULT pass
+    # accumulates in f32; sumsq via hi/lo split (see _kernel)
+    incb = inc.astype(jnp.bfloat16)
+    s1 = jnp.dot(incb, win, preferred_element_type=jnp.float32)
+    winf = win.astype(jnp.float32)
+    sq = winf * winf
+    hi = sq.astype(jnp.bfloat16)
+    lo = (sq - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    s2 = (jnp.dot(incb, hi, preferred_element_type=jnp.float32)
+          + jnp.dot(incb, lo, preferred_element_type=jnp.float32))
+
+    # max/min track the WINNING SLOT (strict >/< => first tie wins) so the
+    # backward routes each extremum's cotangent to exactly one edge —
+    # matching the reference's torch/DGL argmax semantics (JAX's XLA
+    # segment_max instead splits evenly among ties; ties are common once
+    # messages are bf16-rounded)
+    run_max = jnp.full((TN, DC), NEG_BIG, jnp.float32)
+    run_min = jnp.full((TN, DC), POS_BIG, jnp.float32)
+    amax = jnp.zeros((TN, DC), jnp.float32)
+    amin = jnp.zeros((TN, DC), jnp.float32)
+    for s in range(K):
+        tgt = starts + s
+        has_s = (tgt < ends)[:, None]
+        onehot = (eidx == tgt[:, None]).astype(win.dtype)
+        row = jnp.dot(onehot, win, preferred_element_type=jnp.float32)
+        sf = jnp.full((), float(s), jnp.float32)
+        amax = jnp.where(has_s & (row > run_max), sf, amax)
+        amin = jnp.where(has_s & (row < run_min), sf, amin)
+        run_max = jnp.where(has_s, jnp.maximum(run_max, row), run_max)
+        run_min = jnp.where(has_s, jnp.minimum(run_min, row), run_min)
+
+    deg = (ends - starts)[:, None].astype(jnp.float32)
+    deg_safe = jnp.maximum(deg, 1.0)
+    has = deg > 0
+    mean = s1 / deg_safe
+    var = jax.nn.relu(s2 / deg_safe - mean * mean)
+    std = jnp.sqrt(var + EPS)
+    zero = jnp.zeros((), jnp.float32)
+    sum_ref[:] = s1.astype(jnp.bfloat16)
+    mean_ref[:] = jnp.where(has, mean, zero).astype(jnp.bfloat16)
+    std_ref[:] = jnp.where(has, std, zero).astype(jnp.bfloat16)
+    max_ref[:] = jnp.where(has, run_max, zero).astype(jnp.bfloat16)
+    min_ref[:] = jnp.where(has, run_min, zero).astype(jnp.bfloat16)
+    amax_ref[:] = amax.astype(jnp.bfloat16)
+    amin_ref[:] = amin.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool):
+    """Returns (sum, mean, std, max, min, argmax_slot, argmin_slot), each
+    bf16 [N, D].  bf16 messages only; D <= 512 (the double-buffered window
+    must fit one DC chunk)."""
+    E, D = messages.shape
+    N = row_ptr.shape[0] - 1
+    TN = 128
+    DC = ((D + 127) // 128) * 128
+    WIN = max(((TN * max_deg + 8 + 127) // 128) * 128, 128)
+    if D % DC:
+        messages = jnp.pad(messages, ((0, 0), (0, DC - D % DC)))
+    pad_rows = max(WIN - E, 0)
+    if (E + pad_rows) % 8:
+        pad_rows += 8 - (E + pad_rows) % 8
+    if pad_rows:
+        messages = jnp.pad(messages, ((0, pad_rows), (0, 0)))
+    Ep = messages.shape[0]
+    if N % TN:
+        row_ptr = jnp.concatenate(
+            [row_ptr, jnp.full(TN - N % TN, row_ptr[-1], row_ptr.dtype)])
+    Np = row_ptr.shape[0] - 1
+    NT = Np // TN
+
+    out_shape = [jax.ShapeDtypeStruct((Np, DC), jnp.bfloat16)] * 7
+    out_spec = pl.BlockSpec((TN, DC), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NT,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[out_spec] * 7,
+        scratch_shapes=[pltpu.VMEM((2, WIN, DC), messages.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    kernel = functools.partial(_stats_kernel, TN=TN, DC=DC, WIN=WIN,
+                               K=max_deg, E=Ep, NT=NT)
+    outs = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                          interpret=interpret)(row_ptr, messages)
+    return tuple(o[:N, :D] for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def csr_pna_stats(messages, row_ptr, receivers, max_deg: int,
+                  interpret: bool = False):
+    """(sum, mean, std, max, min) — all bf16 — with an analytic bf16
+    backward: d_msg = A[r] + B[r]*msg + eq_max*d_max[r] + eq_min*d_min[r]
+    where A/B are cheap node-side combinations of the cotangents.  The relu
+    gate on var needs no explicit mask in the backward: where var clamps,
+    (msg - mean) ~ 0 and the std term vanishes on its own."""
+    return _csr_stats_raw(messages, row_ptr, max_deg, interpret)[:5]
+
+
+def _stats_fwd(messages, row_ptr, receivers, max_deg, interpret):
+    s1, mean, std, mx, mn, amax, amin = _csr_stats_raw(
+        messages, row_ptr, max_deg, interpret)
+    return ((s1, mean, std, mx, mn),
+            (messages, receivers, row_ptr, mean, std, amax, amin))
+
+
+def _stats_bwd(max_deg, interpret, res, cots):
+    messages, receivers, row_ptr, mean, std, amax, amin = res
+    d_sum, d_mean, d_std, d_mx, d_mn = cots
+    N = mean.shape[0]
+    deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
+    inv = 1.0 / jnp.maximum(deg, 1.0)
+    # node-side combination (f32 for the divides, gathered as bf16):
+    #   mean term: d_mean / deg
+    #   std term:  d_std * (msg - mean) / (deg * std)
+    # (msg - mean) must be formed PER EDGE, not distributed into
+    # A + B*msg: bf16 rounding of the distributed terms breaks the exact
+    # cancellation at degenerate nodes (deg==1 -> msg == mean -> grad 0)
+    std_safe = jnp.maximum(std.astype(jnp.float32), jnp.sqrt(EPS))
+    B = d_std.astype(jnp.float32) * inv / std_safe
+    A = d_sum.astype(jnp.float32) + d_mean.astype(jnp.float32) * inv
+    Ab = A.astype(messages.dtype)
+    Bb = B.astype(messages.dtype)
+    recv = receivers.clip(0, N - 1)
+    d_msg = (jnp.take(Ab, recv, axis=0)
+             + jnp.take(Bb, recv, axis=0)
+             * (messages - jnp.take(mean, recv, axis=0)))
+    # single-winner extremum routing: the kernel recorded each node's
+    # argmax/argmin SLOT, and an edge's slot is its position within its
+    # node's CSR range — the cotangent goes to exactly one edge per node
+    # (the reference's torch/DGL argmax semantics; JAX's XLA segment_max
+    # would split evenly among ties instead)
+    pos = (jnp.arange(receivers.shape[0], dtype=jnp.float32)
+           - jnp.take(row_ptr, recv).astype(jnp.float32))[:, None]
+    pos = pos.astype(messages.dtype)
+    d_msg = d_msg + (jnp.take(d_mx, recv, axis=0)
+                     * (pos == jnp.take(amax, recv, axis=0)))
+    d_msg = d_msg + (jnp.take(d_mn, recv, axis=0)
+                     * (pos == jnp.take(amin, recv, axis=0)))
+    valid = (receivers < N)[:, None]
+    return (jnp.where(valid, d_msg, 0).astype(messages.dtype), None, None)
+
+
+csr_pna_stats.defvjp(_stats_fwd, _stats_bwd)
 
 
 def _sum_kernel(row_ptr_ref, msg_hbm, sum_ref, win_ref, sem,

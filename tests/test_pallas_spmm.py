@@ -105,3 +105,94 @@ def test_csr_batcher_integration(rng):
         np.asarray(model.apply(vs, plain, deterministic=True)),
         np.asarray(model.apply(vs, csr, deterministic=True)),
         rtol=1e-4, atol=1e-5)
+
+
+def test_csr_pna_stats_forward():
+    rng = np.random.default_rng(42)
+    """bf16 fused-stats kernel (csr_pna_stats): final aggregates match the
+    XLA segment path on bf16-rounded inputs within bf16 tolerance."""
+    from infomax3d_tpu.ops.pallas.spmm import csr_pna_stats
+    msgs, row_ptr, recv, K = make_csr(rng)
+    N = row_ptr.shape[0] - 1
+    msgb = msgs.astype(jnp.bfloat16)
+    s1, mean, std, mx, mn = csr_pna_stats(msgb, row_ptr, recv, K, True)
+    ref = pna_multi_aggregate(msgb.astype(jnp.float32), recv, N,
+                              ["sum", "mean", "std", "max", "min"])
+    D = msgs.shape[1]
+    for k, got in enumerate([s1, mean, std, mx, mn]):
+        np.testing.assert_allclose(
+            np.asarray(got.astype(jnp.float32)),
+            np.asarray(ref[:, k * D:(k + 1) * D]), rtol=0.02, atol=0.02)
+
+
+def test_csr_pna_stats_grad():
+    rng = np.random.default_rng(42)
+    """Analytic bf16 backward: per-edge grads match the XLA path for
+    sum/mean/std (bf16 tolerance); max/min grads match as PER-NODE SUMS
+    (this kernel routes extrema cotangents to one argmax winner, the XLA
+    path splits evenly among bf16 ties)."""
+    from infomax3d_tpu.ops.pallas.spmm import csr_pna_stats
+    msgs, row_ptr, recv, K = make_csr(rng)
+    N = row_ptr.shape[0] - 1
+    D = msgs.shape[1]
+    msgb = msgs.astype(jnp.bfloat16)
+    recv_np = np.asarray(recv)
+    w = 1.0 + 0.1 * jnp.arange(D)
+    for k, name in enumerate(["sum", "mean", "std", "max", "min"]):
+        def loss_pallas(m):
+            outs = csr_pna_stats(m, row_ptr, recv, K, True)
+            return jnp.sum(outs[k].astype(jnp.float32) * w)
+
+        def loss_ref(m):
+            h = pna_multi_aggregate(m.astype(jnp.float32), recv, N, [name])
+            return jnp.sum(h * w)
+
+        g1 = np.asarray(jax.grad(loss_pallas)(msgb).astype(jnp.float32))
+        g2 = np.asarray(jax.grad(loss_ref)(msgb.astype(jnp.float32)))
+        scale = np.abs(g2).max() + 1e-9
+        if name in ("max", "min"):
+            gs1 = np.zeros((N + 1, D))
+            gs2 = np.zeros((N + 1, D))
+            np.add.at(gs1, recv_np.clip(0, N), g1)
+            np.add.at(gs2, recv_np.clip(0, N), g2)
+            assert np.abs(gs1 - gs2).max() / scale < 0.02, name
+        else:
+            assert np.abs(g1 - g2).max() / scale < 0.12, name
+        # padding edges always get zero gradient
+        assert (g1[recv_np >= N] == 0).all(), name
+
+
+def test_csr_pna_stats_tie_routing():
+    """Extremum ties: exactly one edge (the first CSR slot holding the
+    extremum) receives the full cotangent — torch/DGL argmax semantics."""
+    from infomax3d_tpu.ops.pallas.spmm import csr_pna_stats
+    recv = jnp.asarray(np.array([0, 0, 0, 1, 1], np.int32))
+    row_ptr = jnp.asarray(np.array([0, 3, 5], np.int32))
+    msgs = jnp.asarray(np.array([[1.0], [0.5], [1.0], [2.0], [2.0]]),
+                       jnp.bfloat16)
+
+    def loss(m, k):
+        return jnp.sum(csr_pna_stats(m, row_ptr, recv, 3, True)[k]
+                       .astype(jnp.float32))
+
+    gmax = np.asarray(jax.grad(loss)(msgs, 3).astype(jnp.float32)).ravel()
+    gmin = np.asarray(jax.grad(loss)(msgs, 4).astype(jnp.float32)).ravel()
+    np.testing.assert_array_equal(gmax, [1, 0, 0, 1, 0])
+    np.testing.assert_array_equal(gmin, [0, 1, 0, 1, 0])
+
+
+def test_pna_csr_aggregate_bf16_path():
+    rng = np.random.default_rng(42)
+    """pna_csr_aggregate dispatches bf16 messages through the fused-stats
+    kernel; result matches the XLA multi-aggregate within bf16 tolerance,
+    including degree scalers."""
+    msgs, row_ptr, recv, K = make_csr(rng)
+    N = row_ptr.shape[0] - 1
+    msgb = msgs.astype(jnp.bfloat16)
+    aggs = ["mean", "max", "min", "std"]
+    scalers = ["identity", "amplification", "attenuation"]
+    got = pna_csr_aggregate(msgb, row_ptr, recv, K, aggs, scalers, 1.1, True)
+    ref = pna_multi_aggregate(msgb.astype(jnp.float32), recv, N, aggs,
+                              scalers, 1.1)
+    np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
+                               np.asarray(ref), rtol=0.03, atol=0.03)
