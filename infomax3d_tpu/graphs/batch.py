@@ -140,6 +140,17 @@ def batch_graphs(
     if g_real > G:
         raise ValueError(f"{g_real} graphs > bucket {G}")
 
+    # native C collate core (infomax3d_tpu/native/batcher.c): one O(N+E)
+    # pass for every index-shaped array below; value-identical to this
+    # numpy path (tests/test_native_batcher.py) and ~10x faster per batch.
+    # INFOMAX3D_NO_NATIVE=1 opts out; capacity errors still raise here.
+    import os as _os
+    if not _os.environ.get("INFOMAX3D_NO_NATIVE"):
+        from infomax3d_tpu.native.batcher import pack_batch_native
+        native = pack_batch_native(graphs, bucket, extras_keys)
+        if native is not None:
+            return native
+
     n_per = np.array([g["node_feat"].shape[0] for g in graphs], dtype=np.int32)
     e_per = np.array([g["senders"].shape[0] for g in graphs], dtype=np.int32)
     n_tot, e_tot = int(n_per.sum()), int(e_per.sum())

@@ -1,0 +1,160 @@
+"""ctypes wrapper: native pack_topology -> the batch_graphs output dict.
+
+Feature payloads (node_feat / edge_feat / coords / lap_pe / edge_dist) are
+concatenated and reordered with numpy (already C-speed vectorized ops); the
+C core produces every INDEX-shaped array — relabeled endpoints, CSR/CSC
+sorts, masks, degrees, snorm, readout regroup, mailboxes — in one pass.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from infomax3d_tpu.native import load
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def pack_batch_native(graphs: Sequence[Dict[str, np.ndarray]], bucket,
+                      extras_keys: Sequence[str] = ()) -> Optional[Dict]:
+    """batch_graphs via the C core; None when the library is unavailable
+    (caller falls back to the numpy path)."""
+    lib = load()
+    if lib is None:
+        return None
+    G, N, E = bucket.n_graphs, bucket.n_nodes, bucket.n_edges
+    g_real = len(graphs)
+    if g_real == 0 or g_real > G:
+        return None                           # let the numpy path raise
+    n_per = np.array([g["node_feat"].shape[0] for g in graphs], np.int32)
+    e_per = np.array([g["senders"].shape[0] for g in graphs], np.int32)
+    n_tot, e_tot = int(n_per.sum()), int(e_per.sum())
+    if n_tot > N or e_tot > E:
+        return None
+    K = int(bucket.max_deg)
+    nmax = int(bucket.nmax)
+    do_csr = 1 if bucket.csr else 0
+    if do_csr and K <= 0:
+        return None
+
+    src_cat = np.ascontiguousarray(
+        np.concatenate([g["senders"] for g in graphs]) if e_tot
+        else np.empty(0), dtype=np.int32)
+    dst_cat = np.ascontiguousarray(
+        np.concatenate([g["receivers"] for g in graphs]) if e_tot
+        else np.empty(0), dtype=np.int32)
+
+    i32, u8, f32 = np.int32, np.uint8, np.float32
+    senders = np.empty(E, i32)
+    receivers = np.empty(E, i32)
+    edge_perm = np.empty(E, i32)
+    node_graph = np.empty(N, i32)
+    node_pos = np.empty(N, i32)
+    edge_graph = np.empty(E, i32)
+    node_mask = np.empty(N, u8)
+    edge_mask = np.empty(E, u8)
+    n_nodes = np.empty(G, i32)
+    graph_mask = np.empty(G, u8)
+    snorm = np.empty(N, f32)
+    in_degree = np.empty(N, f32)
+    csr_row_ptr = np.zeros(N + 1, i32)
+    csc_perm = np.empty(E, i32)
+    csc_row_ptr = np.zeros(N + 1, i32)
+    rd_node_idx = np.empty(max(G * nmax, 1), i32)
+    rd_inv = np.empty(N, i32)
+    KK = max(K, 1)
+    mb_in_edges = np.empty(N * KK if K > 0 else 1, i32)
+    mb_in_mask = np.empty(N * KK if K > 0 else 1, u8)
+    mb_in_slot = np.empty(E if K > 0 else 1, i32)
+    mb_out_edges = np.empty(N * KK if K > 0 else 1, i32)
+    mb_out_mask = np.empty(N * KK if K > 0 else 1, u8)
+    mb_out_slot = np.empty(E if K > 0 else 1, i32)
+    scratch = np.empty(E + N + 2, i32)
+
+    ci = ctypes.c_int32
+    rc = lib.pack_topology(
+        _ptr(src_cat, ci), _ptr(dst_cat, ci), _ptr(n_per, ci),
+        _ptr(e_per, ci),
+        ci(g_real), ci(G), ci(N), ci(E), ci(n_tot), ci(e_tot),
+        ci(K), ci(nmax), ci(do_csr),
+        _ptr(senders, ci), _ptr(receivers, ci), _ptr(edge_perm, ci),
+        _ptr(node_graph, ci), _ptr(node_pos, ci), _ptr(edge_graph, ci),
+        _ptr(node_mask, ctypes.c_uint8), _ptr(edge_mask, ctypes.c_uint8),
+        _ptr(n_nodes, ci), _ptr(graph_mask, ctypes.c_uint8),
+        _ptr(snorm, ctypes.c_float), _ptr(in_degree, ctypes.c_float),
+        _ptr(csr_row_ptr, ci), _ptr(csc_perm, ci), _ptr(csc_row_ptr, ci),
+        _ptr(rd_node_idx, ci), _ptr(rd_inv, ci),
+        _ptr(mb_in_edges, ci), _ptr(mb_in_mask, ctypes.c_uint8),
+        _ptr(mb_in_slot, ci),
+        _ptr(mb_out_edges, ci), _ptr(mb_out_mask, ctypes.c_uint8),
+        _ptr(mb_out_slot, ci),
+        _ptr(scratch, ci))
+    if rc == 1:
+        raise ValueError(f"degree exceeds mailbox width {K}")
+    if rc == 2:
+        raise ValueError(f"bucket.nmax={nmax} < largest graph "
+                         f"({int(n_per.max())} nodes)")
+    if rc != 0:
+        return None
+
+    first = graphs[0]
+    nf = first["node_feat"]
+    node_feat = np.zeros((N,) + nf.shape[1:], dtype=nf.dtype)
+    node_feat[:n_tot] = np.concatenate([g["node_feat"] for g in graphs])
+
+    out: Dict[str, np.ndarray] = dict(
+        node_feat=node_feat, senders=senders, receivers=receivers,
+        node_graph=node_graph, edge_graph=edge_graph, node_pos=node_pos,
+        node_mask=node_mask.view(bool), edge_mask=edge_mask.view(bool),
+        graph_mask=graph_mask.view(bool), n_nodes=n_nodes,
+        in_degree=in_degree, snorm=snorm[:, None],
+    )
+
+    def _edge_field(key):
+        if key in first and first[key] is not None:
+            arr0 = np.asarray(first[key])
+            buf = np.zeros((E,) + arr0.shape[1:], dtype=arr0.dtype)
+            if e_tot:
+                buf[:e_tot] = np.concatenate([g[key] for g in graphs])
+            out[key] = buf[edge_perm] if do_csr else buf
+
+    def _node_field(key):
+        if key in first and first[key] is not None:
+            arr0 = np.asarray(first[key])
+            buf = np.zeros((N,) + arr0.shape[1:], dtype=arr0.dtype)
+            buf[:n_tot] = np.concatenate([g[key] for g in graphs])
+            out[key] = buf
+
+    _edge_field("edge_feat")
+    _edge_field("edge_dist")
+    _node_field("coords")
+    _node_field("lap_pe")
+
+    if do_csr:
+        out["_edge_perm"] = edge_perm
+        out["csr_row_ptr"] = csr_row_ptr
+        out["csc_perm"] = csc_perm
+        out["csc_row_ptr"] = csc_row_ptr
+    if K > 0:
+        out.update(
+            mb_in_edges=mb_in_edges.reshape(N, K),
+            mb_in_mask=mb_in_mask.reshape(N, K).view(bool),
+            mb_edge_slot=mb_in_slot,
+            mb_out_edges=mb_out_edges.reshape(N, K),
+            mb_out_mask=mb_out_mask.reshape(N, K).view(bool),
+            mb_out_slot=mb_out_slot,
+        )
+    if nmax > 0:
+        out["rd_node_idx"] = rd_node_idx.reshape(G, nmax)
+        out["rd_inv_flat"] = rd_inv
+
+    for key in extras_keys:
+        vals = [np.asarray(g[key]) for g in graphs]
+        buf = np.zeros((G,) + vals[0].shape, dtype=vals[0].dtype)
+        buf[:g_real] = np.stack(vals)
+        out[key] = buf
+    return out

@@ -321,8 +321,8 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
 
 
 def _stats_kernel(row_ptr_ref, msg_hbm, sum_ref, mean_ref, std_ref,
-                  max_ref, min_ref, amax_ref, amin_ref, win_ref, sems,
-                  *, TN, DC, WIN, K, E, NT):
+                  max_ref, min_ref, amax_ref, amin_ref, win_ref, ext_ref,
+                  sems, *, TN, DC, WIN, K, E, NT):
     """bf16 fused-stats variant: emits the FINAL PNA aggregates
     (sum, mean, std, max, min) in bf16 — the mean/std node-side chains the
     f32 kernel leaves to XLA (7 layers x ~0.15 ms of [N, D] f32 elementwise)
@@ -374,21 +374,33 @@ def _stats_kernel(row_ptr_ref, msg_hbm, sum_ref, mean_ref, std_ref,
     # backward routes each extremum's cotangent to exactly one edge —
     # matching the reference's torch/DGL argmax semantics (JAX's XLA
     # segment_max instead splits evenly among ties; ties are common once
-    # messages are bf16-rounded)
-    run_max = jnp.full((TN, DC), NEG_BIG, jnp.float32)
-    run_min = jnp.full((TN, DC), POS_BIG, jnp.float32)
-    amax = jnp.zeros((TN, DC), jnp.float32)
-    amin = jnp.zeros((TN, DC), jnp.float32)
+    # messages are bf16-rounded).  K is the BUCKET's degree bound but most
+    # tiles top out far lower (molecular graphs: avg deg ~2, bound often
+    # 2-4x that), so each slot pass runs under pl.when(s < tile max deg) —
+    # accumulators live in VMEM scratch to allow the conditional mutation.
+    ext_ref[0] = jnp.full((TN, DC), NEG_BIG, jnp.float32)
+    ext_ref[1] = jnp.full((TN, DC), POS_BIG, jnp.float32)
+    ext_ref[2] = jnp.zeros((TN, DC), jnp.float32)
+    ext_ref[3] = jnp.zeros((TN, DC), jnp.float32)
+    tile_deg = jnp.max(ends - starts)
     for s in range(K):
-        tgt = starts + s
-        has_s = (tgt < ends)[:, None]
-        onehot = (eidx == tgt[:, None]).astype(win.dtype)
-        row = jnp.dot(onehot, win, preferred_element_type=jnp.float32)
-        sf = jnp.full((), float(s), jnp.float32)
-        amax = jnp.where(has_s & (row > run_max), sf, amax)
-        amin = jnp.where(has_s & (row < run_min), sf, amin)
-        run_max = jnp.where(has_s, jnp.maximum(run_max, row), run_max)
-        run_min = jnp.where(has_s, jnp.minimum(run_min, row), run_min)
+        @pl.when(s < tile_deg)
+        def _(s=s):
+            tgt = starts + s
+            has_s = (tgt < ends)[:, None]
+            onehot = (eidx == tgt[:, None]).astype(win.dtype)
+            row = jnp.dot(onehot, win, preferred_element_type=jnp.float32)
+            sf = jnp.full((), float(s), jnp.float32)
+            run_max = ext_ref[0]
+            run_min = ext_ref[1]
+            ext_ref[2] = jnp.where(has_s & (row > run_max), sf, ext_ref[2])
+            ext_ref[3] = jnp.where(has_s & (row < run_min), sf, ext_ref[3])
+            ext_ref[0] = jnp.where(has_s, jnp.maximum(run_max, row), run_max)
+            ext_ref[1] = jnp.where(has_s, jnp.minimum(run_min, row), run_min)
+    run_max = ext_ref[0]
+    run_min = ext_ref[1]
+    amax = ext_ref[2]
+    amin = ext_ref[3]
 
     deg = (ends - starts)[:, None].astype(jnp.float32)
     deg_safe = jnp.maximum(deg, 1.0)
@@ -439,6 +451,7 @@ def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * 7,
         scratch_shapes=[pltpu.VMEM((2, WIN, DC), messages.dtype),
+                        pltpu.VMEM((4, TN, DC), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(_stats_kernel, TN=TN, DC=DC, WIN=WIN,
