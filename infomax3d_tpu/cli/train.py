@@ -127,6 +127,12 @@ def build_dataset(args: Dict[str, Any]):
     needs_conformers = any("conform" in str(r) for r in args["required_data"]) \
         or "conformer" in args["collate_function"]
     n_conf = args["num_conformers"] if needs_conformers else 1
+    if any(str(r) == "complete_graph_random_conformer"
+           for r in args["required_data"]):
+        # reference qmugs_dataset.py:187-193 — one uniformly sampled stored
+        # conformer per access (multi-conformer contrastive augmentation)
+        params.setdefault("random_conformer", True)
+        n_conf = 1
     if name == "synthetic":
         params.setdefault("num", 2000)
         params.setdefault("num_targets", max(len(args["targets"]), 1))

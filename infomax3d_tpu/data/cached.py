@@ -34,7 +34,8 @@ class CachedMoleculeDataset:
     def __init__(self, path: str, num_conformers: int = 1,
                  normalize_targets: bool = False,
                  target_indices: Optional[Sequence[int]] = None,
-                 target_scale: Optional[Sequence[float]] = None):
+                 target_scale: Optional[Sequence[float]] = None,
+                 random_conformer: bool = False, seed: int = 0):
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"dataset cache not found: {path}. Build it with the "
@@ -61,6 +62,11 @@ class CachedMoleculeDataset:
                 "test": z["split_test"].astype(np.int64)}
         self.cache_dir = os.path.dirname(path)
         self.num_conformers = num_conformers
+        # 'complete_graph_random_conformer' return type (reference
+        # qmugs_dataset.py:187-193): each access serves the 3D complete
+        # graph of one conformer sampled uniformly from the stored set
+        self.random_conformer = random_conformer
+        self._conf_rng = np.random.default_rng(seed)
         self.target_indices = list(target_indices) if target_indices else None
         if self.targets is not None and self.target_indices:
             self.targets = self.targets[:, self.target_indices]
@@ -120,10 +126,18 @@ class CachedMoleculeDataset:
         return complete_graph_from_coords(
             dict(node_feat=g["node_feat"], coords=self._coords(i, conformer)))
 
+    def _stored_conformers(self) -> int:
+        if self.coordinates is None:
+            return 0
+        return self.coordinates.shape[1] if self.coordinates.ndim == 3 else 1
+
     def __getitem__(self, i: int) -> Dict:
         item: Dict = {"graph2d": self.graph2d(i)}
         if self.coordinates is not None:
-            item["graph3d"] = self.graph3d(i)
+            c0 = 0
+            if self.random_conformer and self._stored_conformers() > 1:
+                c0 = int(self._conf_rng.integers(self._stored_conformers()))
+            item["graph3d"] = self.graph3d(i, c0)
             if self.num_conformers > 1:
                 item["conformers3d"] = [self.graph3d(i, c)
                                         for c in range(self.num_conformers)]
@@ -195,7 +209,11 @@ class SyntheticDataset:
     config run end-to-end without chemistry data (dataset: synthetic)."""
 
     def __init__(self, num: int = 2000, seed: int = 0, num_targets: int = 1,
-                 num_conformers: int = 1, n_min: int = 4, n_max: int = 28):
+                 num_conformers: int = 1, n_min: int = 4, n_max: int = 28,
+                 random_conformer: bool = False):
+        # random_conformer accepted for config-compat; the synthetic set
+        # stores one conformer so sampling is a no-op
+        del random_conformer
         from infomax3d_tpu.data.synthetic import SyntheticMolecules
         self.ds = SyntheticMolecules(num, seed=seed, num_targets=num_targets,
                                      num_conformers=num_conformers,

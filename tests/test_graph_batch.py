@@ -65,3 +65,34 @@ def test_bucket_ladder():
     assert all(b.n_nodes % 128 == 0 for b in ladder)
     b = pick_bucket(ladder, 32 * 10, 32 * 20)
     assert b.n_nodes >= 320
+
+
+def test_random_conformer_sampling(tmp_path):
+    """complete_graph_random_conformer semantics (reference
+    qmugs_dataset.py:187-193): each access serves one uniformly sampled
+    stored conformer's coordinates."""
+    import numpy as np
+    from infomax3d_tpu.data.cached import CachedMoleculeDataset
+    rng = np.random.default_rng(0)
+    n, C = 5, 4
+    cache = dict(
+        atom_features=rng.integers(0, 3, (n, 9)).astype(np.int32),
+        edge_features=rng.integers(0, 2, (4, 3)).astype(np.int32),
+        edge_indices=np.array([[0, 1, 1, 2], [1, 0, 2, 1]], np.int64),
+        atom_slices=np.array([0, n], np.int64),
+        edge_slices=np.array([0, 4], np.int64),
+        coordinates=rng.standard_normal((n, C, 3)).astype(np.float32),
+    )
+    path = tmp_path / "processed.npz"
+    np.savez(path, **cache)
+    ds = CachedMoleculeDataset(str(path), random_conformer=True, seed=1)
+    seen = set()
+    for _ in range(40):
+        coords = ds[0]["graph3d"]["coords"]
+        for c in range(C):
+            if np.allclose(coords, cache["coordinates"][:, c]):
+                seen.add(c)
+    assert len(seen) >= 3   # samples across the conformer set
+    fixed = CachedMoleculeDataset(str(path))
+    assert np.allclose(fixed[0]["graph3d"]["coords"],
+                       cache["coordinates"][:, 0])
