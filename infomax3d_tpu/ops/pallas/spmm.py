@@ -190,6 +190,15 @@ def _bwd(max_deg, interpret, res, cots):
 csr_multi_reduce.defvjp(_fwd, _bwd)
 
 
+def _use_stats_kernel(messages) -> bool:
+    """bf16 fused-stats kernel dispatch gate; INFOMAX3D_STATS_KERNEL=0
+    falls back to the f32 csr_multi_reduce path (A/B runs, escape hatch)."""
+    import os
+    if os.environ.get("INFOMAX3D_STATS_KERNEL", "1") == "0":
+        return False
+    return messages.dtype == jnp.bfloat16 and messages.shape[1] <= 512
+
+
 def _stats_outs(messages, row_ptr, receivers, max_deg, aggregators, has,
                 interpret):
     s1, mean, std, mx, mn = csr_pna_stats(messages, row_ptr, receivers,
@@ -250,7 +259,7 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
     deg_safe = jnp.maximum(deg, 1.0)
     has = deg > 0
     outs = {}
-    if messages.dtype == jnp.bfloat16 and messages.shape[1] <= 512:
+    if _use_stats_kernel(messages):
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
                            aggregators, has, interpret)
     else:
@@ -291,7 +300,7 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
     deg_safe = jnp.maximum(deg, 1.0)
     has = deg > 0
     outs = {}
-    if messages.dtype == jnp.bfloat16 and messages.shape[1] <= 512:
+    if _use_stats_kernel(messages):
         # bf16 fast path: the fused-stats kernel emits the final aggregates
         # directly (no node-side f32 mean/std chains, half the HBM writes,
         # double-buffered window DMA)
@@ -494,12 +503,19 @@ def _stats_bwd(max_deg, interpret, res, cots):
     std_safe = jnp.maximum(std.astype(jnp.float32), jnp.sqrt(EPS))
     B = d_std.astype(jnp.float32) * inv / std_safe
     A = d_sum.astype(jnp.float32) + d_mean.astype(jnp.float32) * inv
-    Ab = A.astype(messages.dtype)
-    Bb = B.astype(messages.dtype)
+    # TPU gathers are ROW-bound (~same cost at width 200 or 1400), so the
+    # seven node-side operands ride ONE wide gather: concat in node space
+    # (N rows, cheap) then take in edge space (E rows, the expensive part)
+    dt = messages.dtype
+    D = messages.shape[1]
+    packed = jnp.concatenate(
+        [A.astype(dt), B.astype(dt), mean, d_mx.astype(dt), amax,
+         d_mn.astype(dt), amin], axis=1)                       # [N, 7D]
     recv = receivers.clip(0, N - 1)
-    d_msg = (jnp.take(Ab, recv, axis=0)
-             + jnp.take(Bb, recv, axis=0)
-             * (messages - jnp.take(mean, recv, axis=0)))
+    rows = jnp.take(packed, recv, axis=0)                      # [E, 7D]
+    Ae, Be, mean_e, dmx_e, amax_e, dmn_e, amin_e = [
+        jax.lax.dynamic_slice_in_dim(rows, k * D, D, axis=1) for k in range(7)]
+    d_msg = Ae + Be * (messages - mean_e)
     # single-winner extremum routing: the kernel recorded each node's
     # argmax/argmin SLOT, and an edge's slot is its position within its
     # node's CSR range — the cotangent goes to exactly one edge per node
@@ -507,13 +523,11 @@ def _stats_bwd(max_deg, interpret, res, cots):
     # would split evenly among ties instead)
     pos = (jnp.arange(receivers.shape[0], dtype=jnp.float32)
            - jnp.take(row_ptr, recv).astype(jnp.float32))[:, None]
-    pos = pos.astype(messages.dtype)
-    d_msg = d_msg + (jnp.take(d_mx, recv, axis=0)
-                     * (pos == jnp.take(amax, recv, axis=0)))
-    d_msg = d_msg + (jnp.take(d_mn, recv, axis=0)
-                     * (pos == jnp.take(amin, recv, axis=0)))
+    pos = pos.astype(dt)
+    d_msg = d_msg + dmx_e * (pos == amax_e)
+    d_msg = d_msg + dmn_e * (pos == amin_e)
     valid = (receivers < N)[:, None]
-    return (jnp.where(valid, d_msg, 0).astype(messages.dtype), None, None)
+    return (jnp.where(valid, d_msg, 0).astype(dt), None, None)
 
 
 csr_pna_stats.defvjp(_stats_fwd, _stats_bwd)
