@@ -276,11 +276,16 @@ def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
 
 def gather_src(g, h):
     """h[senders]; under dense-mailbox batches the backward is a mailbox-sum
-    (no scatter).  csr batches use plain take: two scatter-adds per layer
-    cost less than materializing [N, K, D] cotangent mailboxes."""
+    (no scatter).  csr batches route the backward through the scatter-free
+    sorted prefix sum (ops/segment.py::take_rows with the CSC edge order);
+    plain batches use take (XLA fused scatter-add backward)."""
     if has_mailbox(g) and not has_csr(g):
         return gather_nodes(h, g.senders, g.extras["mb_out_edges"],
                             g.extras["mb_out_slot"])
+    if has_csr(g):
+        from infomax3d_tpu.ops.segment import take_rows
+        return take_rows(h, g.senders, False,
+                         g.extras["csc_row_ptr"], g.extras["csc_perm"])
     return jnp.take(h, g.senders.clip(0, g.num_nodes - 1), axis=0)
 
 
@@ -288,7 +293,9 @@ def gather_dst(g, h):
     if has_mailbox(g) and not has_csr(g):
         return gather_nodes(h, g.receivers, g.extras["mb_in_edges"],
                             g.extras["mb_edge_slot"])
-    # csr batches: plain take — measured on v5e, routing this gather's
-    # backward through the CSR sum kernel (even at DEFAULT precision) is
-    # slower than XLA's fused scatter-add of the cotangents
+    if has_csr(g):
+        # receiver-sorted edges: backward = sorted_segment_sum (the MXU
+        # triangular prefix sum), no scatter
+        from infomax3d_tpu.ops.segment import take_rows
+        return take_rows(h, g.receivers, True, g.extras["csr_row_ptr"])
     return jnp.take(h, g.receivers.clip(0, g.num_nodes - 1), axis=0)
