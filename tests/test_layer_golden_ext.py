@@ -593,3 +593,73 @@ def test_pna_layer_csr_kernel_parity():
                      jnp.asarray(e_sorted), deterministic=True)
     np.testing.assert_allclose(np.asarray(out)[:n], out_ref, rtol=2e-2,
                                atol=2e-2)
+
+
+def test_pna_layer_stats_kernel_bf16_parity():
+    """bf16 CSR bucket -> the fused-stats kernel (csr_pna_stats) both
+    forward and backward.  Forward vs the torch reference within bf16
+    tolerance; gradients vs the f32 csr_multi_reduce path
+    (INFOMAX3D_STATS_KERNEL=0) compared as PER-NODE sums, since the two
+    paths route extremum-tie cotangents differently by design."""
+    import os
+    import jax
+    rng = np.random.default_rng(11)
+    n, d = 14, 10
+    src, dst = random_graph(rng, n)
+    h = rng.normal(size=(n, d)).astype(np.float32)
+    e = rng.normal(size=(len(src), d)).astype(np.float32)
+
+    torch.manual_seed(7)
+    ref = RefPNALayer(in_dim=d, out_dim=d, in_dim_edges=d,
+                      aggregators=["mean", "max", "min", "std"],
+                      scalers=["identity", "amplification", "attenuation"],
+                      avg_d={"log": 1.0}, pretrans_layers=2,
+                      posttrans_layers=1, residual=True)
+    ref.eval()
+    g = FakeDGLGraph(src, dst, n)
+    g.ndata["feat"] = torch.from_numpy(h.copy())
+    g.edata["feat"] = torch.from_numpy(e.copy())
+    ref.forward(g)
+    out_ref = g.ndata["feat"].detach().numpy()
+
+    mine = PNALayer(in_dim=d, out_dim=d, in_dim_edges=d,
+                    aggregators=["mean", "max", "min", "std"],
+                    scalers=["identity", "amplification", "attenuation"],
+                    avg_d_log=1.0, pretrans_layers=2, posttrans_layers=1,
+                    residual=True)
+    max_deg = int(np.bincount(dst).max())
+    gb = _batch(src, dst, n, edge_feat=None, csr=True, max_deg=max_deg)
+    E_pad = len(src) + 4
+    recv_pad = np.full(E_pad, n + 2, np.int32)
+    recv_pad[:len(src)] = dst
+    order = np.argsort(recv_pad, kind="stable")
+    e_sorted = np.pad(e, ((0, 4), (0, 0)))[order]
+
+    params = {"pretrans": {}, "posttrans": {}}
+    stats = {"pretrans": {}, "posttrans": {}}
+    copy_mlp(ref.pretrans, params["pretrans"], stats["pretrans"])
+    copy_mlp(ref.posttrans, params["posttrans"], stats["posttrans"])
+
+    hb = pad_n(h).astype(jnp.bfloat16)
+    eb = jnp.asarray(e_sorted, jnp.bfloat16)
+
+    def run(hq):
+        return mine.apply({"params": params}, gb, hq, eb,
+                          deterministic=True).astype(jnp.float32)
+
+    out = run(hb)
+    np.testing.assert_allclose(np.asarray(out)[:n], out_ref, rtol=4e-2,
+                               atol=4e-2)
+
+    def loss(hq):
+        return jnp.sum(run(hq) * (1.0 + 0.05 * jnp.arange(d)))
+
+    g_stats = np.asarray(jax.grad(loss)(hb).astype(jnp.float32))
+    os.environ["INFOMAX3D_STATS_KERNEL"] = "0"
+    try:
+        g_f32 = np.asarray(jax.grad(loss)(hb).astype(jnp.float32))
+    finally:
+        del os.environ["INFOMAX3D_STATS_KERNEL"]
+    assert np.isfinite(g_stats).all()
+    scale = np.abs(g_f32).max() + 1e-9
+    assert np.abs(g_stats - g_f32).max() / scale < 0.15
