@@ -62,6 +62,9 @@ DEFAULTS: Dict[str, Any] = dict(
     # cli/train.py::resolve_fast_paths
     csr_buckets="auto",
     dense_3d="auto",
+    # pick per-batch static shapes from a small ladder (less padding, a few
+    # extra compiles) — plain flat collates only (cli/train.py::make_loaders)
+    bucket_ladder=False,
     bf16_compute="auto",
     collate_params={},
     use_e_features=True,

@@ -122,6 +122,11 @@ def build_dataset(args: Dict[str, Any]):
         SyntheticDataset,
     )
     name = args["dataset"]
+    if name == "molhiv":
+        # configs/pna_original_simple_molhiv.yml — falls through every
+        # branch of the reference's routing (train.py:271-286, returns
+        # None); evident intent is the ogbg-molhiv benchmark
+        name = args["dataset"] = "ogbg-molhiv"
     params = dict(args.get("dataset_params") or {})
     data_dir = os.environ.get("INFOMAX3D_DATA", "dataset")
     needs_conformers = any("conform" in str(r) for r in args["required_data"]) \
@@ -156,9 +161,12 @@ def build_dataset(args: Dict[str, Any]):
         return QM9Dataset(os.path.join(data_dir, "qm9_geomol", "processed.npz"),
                           target_tasks=args["targets"] or ["homo"],
                           num_conformers=n_conf)
-    if name in ("file_loader_qm9", "file_loader_drugs"):
+    if name in ("file_loader_qm9", "file_loader_drugs", "ot_pyg_geom_qm9"):
+        # ot_pyg_geom_qm9 (reference datasets/pyg_geomol_geom_qm9.py) is the
+        # in-memory variant of file_loader_qm9: same GEOM-QM9 pickles, same
+        # GeoMol featurization — one serving path here
         pickle_root = os.path.join(
-            data_dir, "GEOM_qm9" if name.endswith("qm9") else "GEOM_drugs")
+            data_dir, "GEOM_drugs" if name.endswith("drugs") else "GEOM_qm9")
         try:
             from infomax3d_tpu.data.file_loader import GeomFileLoader
             if os.path.exists(os.path.join(
@@ -259,17 +267,20 @@ def resolve_fast_paths(args: Dict[str, Any]) -> None:
 
 def _adapt_model_params(cls, mp: Dict[str, Any], dataset=None) -> Dict[str, Any]:
     """Reference configs carry dims flax infers (node_dim/edge_dim/
-    hidden_edge_dim, set programmatically by reference train.py:166-231);
-    drop them unless the model class actually declares the field — and when
-    it does but the config doesn't provide it, infer from the data like the
-    reference does (`train_geomol` passes node_dim=data[0][0].z.shape[1])."""
+    hidden_edge_dim, set programmatically by reference train.py:166-231) and
+    assorted stale keys — every reference model constructor takes **kwargs
+    and silently swallows unknowns (e.g. `models/pna_original.py:124`
+    ignores `readout_batchnorm` from configs/pna_original_molhiv.yml), so
+    unknown keys are dropped here with the same semantics.  When a declared
+    dim field isn't in the config, infer it from the data like the reference
+    does (`train_geomol` passes node_dim=data[0][0].z.shape[1])."""
     import dataclasses
     mp = dict(mp)
-    fields = {f.name for f in dataclasses.fields(cls)} \
-        if dataclasses.is_dataclass(cls) else set()
-    for k in ("node_dim", "edge_dim", "hidden_edge_dim"):
-        if k not in fields:
-            mp.pop(k, None)
+    if dataclasses.is_dataclass(cls):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        mp = {k: v for k, v in mp.items() if k in fields}
+    else:
+        fields = set()
     if dataset is not None and ("node_dim" in fields or "edge_dim" in fields):
         try:
             g0 = dataset[0]["graph2d"]
@@ -288,24 +299,43 @@ def _adapt_model_params(cls, mp: Dict[str, Any], dataset=None) -> Dict[str, Any]
 def build_models(args: Dict[str, Any], dataset=None) -> Dict[str, Any]:
     from infomax3d_tpu.models import get_model_class
     models: Dict[str, Any] = {}
+    from infomax3d_tpu.models import BYOLWrapper
+
+    def _byol_wrap(type_name, params, ds=None):
+        """BYOL configs name the wrapper itself as the model
+        (configs/byol.yml: model_type 'BYOLwrapper' with the wrapped
+        model_type/model_parameters nested inside, reference
+        trainer/byol_wrapper.py:17-29); build the wrapper around the
+        inner class with both parameter dicts adapted."""
+        inner_type = params.get("model_type", type_name)
+        inner = _adapt_model_params(get_model_class(inner_type),
+                                    params.get("model_parameters") or
+                                    ({} if inner_type != type_name else params),
+                                    ds)
+        wp = _adapt_model_params(BYOLWrapper, params)
+        wp.update(model_type=inner_type, model_parameters=inner)
+        return BYOLWrapper(**wp)
+
     model_cls = get_model_class(args["model_type"])
-    mp = _adapt_model_params(model_cls, args.get("model_parameters") or {},
-                             dataset)
-    if args["trainer"] == "byol":
-        from infomax3d_tpu.models import BYOLWrapper
-        models["model"] = BYOLWrapper(model_type=args["model_type"],
-                                      model_parameters=mp)
+    if args["model_type"] == "BYOLwrapper" or (args["trainer"] == "byol" and
+                                               model_cls is not BYOLWrapper):
+        models["model"] = _byol_wrap(args["model_type"],
+                                     args.get("model_parameters") or {},
+                                     dataset)
     else:
+        mp = _adapt_model_params(model_cls, args.get("model_parameters") or {},
+                                 dataset)
         models["model"] = model_cls(**mp)
     if args.get("model3d_type"):
         from infomax3d_tpu.models import get_model_class as _g
-        mp3 = _adapt_model_params(_g(args["model3d_type"]),
-                                  args.get("model3d_parameters") or {})
-        if args["trainer"] == "byol":
-            from infomax3d_tpu.models import BYOLWrapper
-            models["model3d"] = BYOLWrapper(model_type=args["model3d_type"],
-                                            model_parameters=mp3)
+        if args["model3d_type"] == "BYOLwrapper" or \
+                (args["trainer"] == "byol" and
+                 _g(args["model3d_type"]) is not BYOLWrapper):
+            models["model3d"] = _byol_wrap(args["model3d_type"],
+                                           args.get("model3d_parameters") or {})
         else:
+            mp3 = _adapt_model_params(_g(args["model3d_type"]),
+                                      args.get("model3d_parameters") or {})
             m3_type = args["model3d_type"]
             if args.get("_dense_3d") and m3_type == "Net3D":
                 m3_type = "Net3DDense"       # parameter-compatible fast path
@@ -338,13 +368,20 @@ def transfer_pretrained(state, args: Dict[str, Any]):
     for path, v in flat_src.items():
         path = tuple("node_gnn" if p in ("gnn", "gnn2") else p for p in path)
         renamed[path] = v
-    transfer = args["transfer_layers"] or []
-    exclude = list(args["exclude_from_transfer"] or []) + ["teacher"]
+    # reference tokens are substrings of torch's dot-joined names
+    # (configs/tune_from_ot_geomol_gnn.yml: 'gnn.'); our paths join with '/'
+    transfer = [t.replace(".", "/") for t in (args["transfer_layers"] or [])]
+    exclude = [t.replace(".", "/") for t in
+               (args["exclude_from_transfer"] or [])] + ["teacher"]
     params = state.params
     flat_dst = flatten_dict(params["model"])
     n_hit = 0
     for path, v in flat_dst.items():
         s = "/".join(path)
+        # reference BN modules are attributes named 'batch_norm'
+        # (base_layers.py:83) — spell ours the same way so config tokens
+        # like exclude_from_transfer: [batch_norm] keep their meaning
+        s = s + "|" + s.replace("MaskedBatchNorm", "batch_norm")
         if any(t in s for t in transfer) and not any(x in s for x in exclude):
             if path in renamed and renamed[path].shape == v.shape:
                 flat_dst[path] = jnp.asarray(renamed[path])
@@ -363,6 +400,7 @@ def transfer_pretrained(state, args: Dict[str, Any]):
     flat_bdst = flatten_dict(bstats["model"])
     for path, v in flat_bdst.items():
         s = "/".join(path)
+        s = s + "|" + s.replace("MaskedBatchNorm", "batch_norm")
         if any(t in s for t in transfer) and not any(x in s for x in exclude):
             if path in flat_sstats and flat_sstats[path].shape == v.shape:
                 flat_bdst[path] = jnp.asarray(flat_sstats[path])
@@ -430,6 +468,13 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
 
     collate = args["collate_function"]
     ckw = dict(args.get("collate_params") or {})
+    if collate == "smp_collate":
+        # the radius graph (cutoff 5 Å, reference
+        # spherical_message_passing.py:271) is bounded by the complete
+        # graph, far denser than the bond graph the default bucket sizes
+        # for; triplet count per edge is bounded by max in-degree
+        bucket = BucketSpec(bs, n_cap, e3_cap, nmax=max_n)
+        ckw.setdefault("n_triplets", int(e3_cap) * max(8, max_n))
     contrastive = collate in ("contrastive_collate", "conformer_collate",
                               "contrastive_collate_ae")
     if collate == "conformer_collate":
@@ -437,6 +482,9 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
         ckw.setdefault("bucket3d", BucketSpec(bs * C, n_cap * C, e3_cap * C))
     elif contrastive or collate == "pairwise_distance_collate":
         ckw.setdefault("bucket3d", bucket3d)
+        if collate == "pairwise_distance_collate" and any(
+                str(r) == "complete_graph3d" for r in args["required_data"]):
+            ckw.setdefault("graph_3d", True)
     if args.get("_dense_3d") and collate == "contrastive_collate":
         ckw.setdefault("dense_3d", True)
         ckw.setdefault("max_nodes3d", max_n)
@@ -451,10 +499,23 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
                        int(hp.get("n_true_confs", args["num_conformers"])))
     n_shards = args.get("n_shards", 1)
 
+    # `bucket_ladder: true` picks a per-batch bucket from a small ladder of
+    # static shapes (graphs/batch.py::make_bucket_ladder) instead of one
+    # worst-case bucket — less padding per step at the cost of a few extra
+    # XLA compiles.  Only for the plain flat collates (the csr fast path and
+    # the multi-view collates carry fixed per-bucket extras).
+    ladder = None
+    if args.get("bucket_ladder") and not args.get("_csr") and \
+            collate in ("graph_collate", "graph_only_collate") and \
+            n_shards == 1:
+        from infomax3d_tpu.graphs.batch import make_bucket_ladder
+        ladder = make_bucket_ladder(bs, nodes, dataset.edge_counts())
+        bucket = None
+
     def mk(indices, shuffle, seed, batch_sampler=None):
         return GraphDataLoader(dataset, bs, collate, bucket=bucket,
                                shuffle=shuffle, drop_last=contrastive,
-                               seed=seed, indices=indices,
+                               seed=seed, indices=indices, ladder=ladder,
                                collate_kwargs=ckw, n_shards=n_shards,
                                batch_sampler=batch_sampler)
 
@@ -486,6 +547,27 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
     from infomax3d_tpu.data.loader import COLLATE_ALIASES
     args["collate_function"] = COLLATE_ALIASES.get(
         args["collate_function"], args["collate_function"])
+    if any(str(r) == "san_graph" for r in args["required_data"]) and \
+            args["collate_function"] == "graph_collate":
+        # reference SAN runs keep the default graph_collate because the
+        # dataset's san_graph return type already carries the LapPE
+        # (qm9_dataset.py:285-304); here the LapPE assembly lives in
+        # san_collate, so the required_data drives the collate choice
+        args["collate_function"] = "san_collate"
+    if args["trainer"] == "optimal_transport" and \
+            args["collate_function"] in ("graph_only_collate",
+                                         "graph_collate"):
+        # reference OT configs batch raw pyg Data objects whose GeoMol
+        # featurization rides along (pyg_graph_only_collate,
+        # configs/ot_geomol_gnn.yml); here the neighborhood/dihedral index
+        # arrays are assembled by ot_collate
+        args["collate_function"] = "ot_collate"
+    if args["model_type"] == "SMP" and \
+            args["collate_function"] == "graph_collate":
+        # reference SMP consumes raw pyg coords and extracts triplets
+        # on-device (spherical_encoding.py:276-330); here triplet/angle
+        # featurization is host-side in smp_collate (data/smp_featurize.py)
+        args["collate_function"] = "smp_collate"
     dataset = build_dataset(args)
     apply_dataset_protocol(args, dataset)
     metrics = build_metrics(args, dataset)

@@ -45,7 +45,12 @@ COLLATE_ALIASES: Dict[str, str] = {
     "NoisedDistancesCollate": "noised_distances_collate",    # :131-152
     "NoisedCoordinatesCollate": "noised_coordinates_collate",  # :160-185
     "pyg_and_dgl_graph_collate": "ot_collate",       # :30-34 (OT trainer)
+    "pyg_graph_only_collate": "graph_only_collate",  # :37-40
     "pytorch_geometric_collate": "graph_collate",    # :24-27
+    # 'ConformerCollate' exists in no reference module (NameError upstream —
+    # configs/contrastive_training_multiple_positives*.yml); evident intent
+    # is conformer_collate (custom_collate.py:155-157)
+    "ConformerCollate": "conformer_collate",
     "pytorch_geometric2d_contrastive_collate": "contrastive_collate",  # :124-131
     "pytorch_geometric3d_contrastive_collate": "contrastive_collate",  # :117-121
     "contrastive_graphs_with_mask_collate": "contrastive_collate",  # :81-90
@@ -325,16 +330,25 @@ def molhiv_padded_collate(items, bucket, max_nodes: int = 40, **kw):
 
 @register_collate("pairwise_distance_collate")
 def pairwise_distance_collate(items: Sequence[Dict], bucket: BucketSpec,
-                              bucket3d: Optional[BucketSpec] = None):
+                              bucket3d: Optional[BucketSpec] = None,
+                              graph_3d: bool = False):
     """2D graph + complete pair graph carrying true pairwise distances as
     targets (reference custom_collate.py:65-78).  Node layouts are aligned:
-    both views use the same node bucket so flat indices coincide."""
-    g2 = batch_graphs([it["graph2d"] for it in items], bucket)
+    both views use the same node bucket so flat indices coincide.
+
+    graph_3d: serve the complete 3D graph (with edge distances) as the
+    model input instead of the bond graph — the Net3DDistancePredictor
+    protocol (configs/net3d_info_experiment.yml requires complete_graph3d,
+    reference net3d_distance_predictor.py:79)."""
     b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
                                 _complete_edge_cap(items))
-    pairs = batch_graphs([it["graph3d"] for it in items],
-                         BucketSpec(b3.n_graphs, bucket.n_nodes, b3.n_edges))
-    return {"graph": to_graph_batch(g2), "pairs": to_graph_batch(pairs)}
+    b3 = BucketSpec(b3.n_graphs, bucket.n_nodes, b3.n_edges)
+    pairs = batch_graphs([it["graph3d"] for it in items], b3)
+    if graph_3d:
+        g = pairs
+    else:
+        g = batch_graphs([it["graph2d"] for it in items], bucket)
+    return {"graph": to_graph_batch(g), "pairs": to_graph_batch(pairs)}
 
 
 @register_collate("ot_collate")
@@ -602,11 +616,14 @@ class GraphDataLoader:
             return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        err: list = []
 
         def worker():
             try:
                 for b in self._batches():
                     q.put(b)
+            except BaseException as e:   # re-raised on the consuming thread
+                err.append(e)
             finally:
                 q.put(SENTINEL)
 
@@ -615,5 +632,7 @@ class GraphDataLoader:
         while True:
             b = q.get()
             if b is SENTINEL:
+                if err:
+                    raise err[0]
                 break
             yield b

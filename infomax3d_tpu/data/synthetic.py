@@ -103,7 +103,8 @@ def write_synthetic_cache(path: str, num: int = 256, seed: int = 0,
                           n_min: int = 4, n_max: int = 24,
                           float_features: bool = False,
                           split: Optional[str] = None,
-                          split_fracs=(0.8, 0.1, 0.1)) -> str:
+                          split_fracs=(0.8, 0.1, 0.1),
+                          nan_targets: bool = False) -> str:
     """Pack a SyntheticMolecules set into the flat .npz cache layout served
     by `data/cached.py` (the reference's processed-tensor layout,
     `datasets/qm9_dataset.py:370-471`) — lets every `dataset:` name in the
@@ -147,6 +148,17 @@ def write_synthetic_cache(path: str, num: int = 256, seed: int = 0,
         coordinates=np.concatenate(coords),
         targets=ds.targets,
     )
+    if nan_targets:
+        # OGB multi-task label sparsity (e.g. ogbg-molpcba is ~94% NaN):
+        # exercised by the NaN-masked losses and task-skipping metrics
+        t = arrays["targets"].astype(np.float32).copy()
+        mask_rng = np.random.default_rng(seed + 1)
+        nan_mask = mask_rng.random(t.shape) < 0.5
+        # keep at least one observed label per task and per molecule
+        nan_mask[0, :] = False
+        nan_mask[:, 0] = False
+        t[nan_mask] = np.nan
+        arrays["targets"] = t
     if split == "random":
         rng = np.random.default_rng(seed)
         perm = rng.permutation(num)

@@ -53,7 +53,12 @@ class Net3DAE(nn.Module):
     propagation_depth: int = 0
 
     @nn.compact
-    def __call__(self, g: GraphBatch, deterministic: bool = True):
+    def __call__(self, g: GraphBatch, pairs: Optional[GraphBatch] = None,
+                 deterministic: bool = True):
+        """`pairs` (optional): a pair-view over the same node layout
+        (reference net3d_distance_predictor.py:79 takes pairwise_indices);
+        when given, the distance head predicts over its senders/receivers
+        instead of g's own edges."""
         N = g.num_nodes
         if self.use_node_features:
             h = AtomEncoder(self.hidden_dim, name="atom_encoder")(g.node_feat)
@@ -107,15 +112,17 @@ class Net3DAE(nn.Module):
                               update_net_layers=self.update_net_layers,
                               name=f"dec_{i}")(g, h, e, deterministic=deterministic)
 
-        src = jnp.take(h, g.senders.clip(0, N - 1), axis=0)
-        dst = jnp.take(h, g.receivers.clip(0, N - 1), axis=0)
+        pg = pairs if pairs is not None else g
+        emask = pg.edge_mask
+        src = jnp.take(h, pg.senders.clip(0, N - 1), axis=0)
+        dst = jnp.take(h, pg.receivers.clip(0, N - 1), axis=0)
         if self.distance_net:
             dn = MLP(out_dim=1, hidden_size=self.projection_dim,
                      mid_batch_norm=True, layers=self.projection_layers,
                      name="distance_net")
-            fwd = dn(jnp.concatenate([src, dst], axis=1), mask=g.edge_mask,
+            fwd = dn(jnp.concatenate([src, dst], axis=1), mask=emask,
                      deterministic=deterministic)
-            bwd = dn(jnp.concatenate([dst, src], axis=1), mask=g.edge_mask,
+            bwd = dn(jnp.concatenate([dst, src], axis=1), mask=emask,
                      deterministic=deterministic)
             distances = jax.nn.softplus(fwd + bwd)[:, 0]
         else:
@@ -124,8 +131,8 @@ class Net3DAE(nn.Module):
                         mid_batch_norm=True, layers=self.projection_layers,
                         name="node_projection_net")(h, mask=g.node_mask,
                                                     deterministic=deterministic)
-                src = jnp.take(h, g.senders.clip(0, N - 1), axis=0)
-                dst = jnp.take(h, g.receivers.clip(0, N - 1), axis=0)
+                src = jnp.take(h, pg.senders.clip(0, N - 1), axis=0)
+                dst = jnp.take(h, pg.receivers.clip(0, N - 1), axis=0)
             distances = jnp.linalg.norm(src - dst, axis=-1)
         return latent, distances
 
@@ -156,8 +163,9 @@ class Net3DDistancePredictor(nn.Module):
     use_node_features: bool = False
 
     @nn.compact
-    def __call__(self, g: GraphBatch, deterministic: bool = True):
-        return Net3DAE(
+    def __call__(self, g: GraphBatch, pairs: Optional[GraphBatch] = None,
+                 deterministic: bool = True):
+        out = Net3DAE(
             hidden_dim=self.hidden_dim,
             readout_aggregators=self.readout_aggregators,
             batch_norm=self.batch_norm,
@@ -175,4 +183,8 @@ class Net3DDistancePredictor(nn.Module):
             update_net_layers=self.update_net_layers,
             message_net_layers=self.message_net_layers,
             use_node_features=self.use_node_features,
-            name="net")(g, deterministic=deterministic)
+            name="net")(g, pairs, deterministic=deterministic)
+        if pairs is not None:
+            # DistancePredictorTrainer contract: per-pair predictions [E, 1]
+            return out[1][:, None]
+        return out

@@ -40,6 +40,34 @@ from infomax3d_tpu.ops.segment import segment_mean, segment_sum
 BIG = 9e9
 
 
+class GINVirtualRandomBackbone(nn.Module):
+    """`gnn_model: GNN_node_VirtualnodeRandom` (reference gin_random.py
+    virtual-node GIN with per-forward noise columns), node-level output for
+    the OT generator (configs/ot_gin.yml)."""
+    hidden_dim: int = 300
+    num_layers: int = 5
+    dropout: float = 0.5
+    random_vec_dim: int = 10
+    random_vec_std: float = 1.0
+
+    def _noise(self, shape):
+        if self.has_rng("random"):
+            return self.random_vec_std * jax.random.normal(
+                self.make_rng("random"), shape)
+        return jnp.zeros(shape)
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, deterministic: bool = True):
+        from infomax3d_tpu.models.random_variants import GNNNodeRandom
+        rand_x = self._noise((g.num_nodes, self.random_vec_dim))
+        rand_e = self._noise((g.num_edges, self.random_vec_dim))
+        return GNNNodeRandom(self.num_layers, self.hidden_dim,
+                             self.random_vec_dim, dropout=self.dropout,
+                             virtual_node=True,
+                             name="node_gnn")(g, rand_x, rand_e,
+                                              deterministic=deterministic)
+
+
 @register_model("OptimalTransportModel")
 class OptimalTransportModel(nn.Module):
     hyperparams: Dict[str, Any]
@@ -69,6 +97,22 @@ class OptimalTransportModel(nn.Module):
         elif self.gnn_model == "PNAGNNRandomEdgeUpdate":
             from infomax3d_tpu.models.random_variants import (
                 PNAGNNRandomEdgeUpdate as gnn_cls)
+        elif self.gnn_model in ("GeomolGNNOGBFeat", "GeomolGNNOGBFeatRandom",
+                                "GeomolGNNOGBFeatRandomNonShared"):
+            # configs/ot_geomol_gnn.yml, configs/ot_pyg_in_memory.yml — the
+            # plain OGBFeat ignores the noise (reference forward swallows
+            # rand_x via **kwargs, geomol_mpnn_ogb_feat.py:29); conformer
+            # diversity then comes only from the dihedral noise
+            from infomax3d_tpu.models.geomol_mpnn import (
+                GeomolGNNOGBFeat, GeomolGNNOGBFeatRandom)
+            if self.gnn_model == "GeomolGNNOGBFeat":
+                gnn_cls = GeomolGNNOGBFeat
+            else:
+                gp.setdefault("non_shared",
+                              self.gnn_model.endswith("NonShared"))
+                gnn_cls = GeomolGNNOGBFeatRandom
+        elif self.gnn_model == "GNN_node_VirtualnodeRandom":
+            gnn_cls = GINVirtualRandomBackbone     # configs/ot_gin.yml
         else:
             raise KeyError(f"unknown OT gnn_model '{self.gnn_model}'")
         import dataclasses
@@ -101,11 +145,15 @@ class OptimalTransportModel(nn.Module):
     # ------------------------------------------------------------------ embed
     def embed(self, g: GraphBatch, deterministic):
         """Per-conformer GNN embeddings [N, C, D] + molecule reps [G, C, D]."""
+        def _nodes(out):
+            # the Geomol backbones return (node, edge) embeddings
+            return out[0] if isinstance(out, tuple) else out
+
         xs, xs2 = [], []
         for _ in range(self.n_model_confs):
-            x1 = self.gnn(g, deterministic=deterministic)
-            x2 = self.gnn2(g, deterministic=deterministic) if self.use_two_gnns \
-                else x1
+            x1 = _nodes(self.gnn(g, deterministic=deterministic))
+            x2 = _nodes(self.gnn2(g, deterministic=deterministic)) \
+                if self.use_two_gnns else x1
             xs.append(x1)
             xs2.append(x2)
         x1 = jnp.stack(xs, axis=1)                    # [N, C, D]

@@ -439,44 +439,32 @@ class OGBGNNRandom(nn.Module, _NoiseMixin):
 
 
 @register_model("GeomolGNNWrapperOGBFeatRandomNonShared")
-class GeomolGNNWrapperOGBFeatRandomNonShared(nn.Module, _NoiseMixin):
-    """Reference geomol_mpnn_ogb_feat_random_non_shared.py:14-76: full-width
-    atom/bond encoders, then 2-layer GeomolMLP node/edge inits mixing in the
-    noise (the encoders are NOT shared with an OT generator — hence the
-    name), GeomolGNN stack, mean pool, MLP head."""
+class GeomolGNNWrapperOGBFeatRandomNonShared(nn.Module):
+    """Reference geomol_mpnn_ogb_feat_random_non_shared.py:14-76: the
+    noise-augmented wrapper whose meta-layers are NOT shared across depth
+    (a separate edge/node model + epsilons per layer, :29-33) — encoders
+    also not shared with an OT generator, hence the name."""
     hidden_dim: int
     target_dim: int = 1
     depth: int = 3
     n_layers: int = 2
     readout_layers: int = 2
     readout_batchnorm: bool = True
+    readout_hidden_dim: Optional[int] = None
     random_vec_dim: int = 10
     random_vec_std: float = 1.0
-    batch_norm_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, g: GraphBatch, deterministic=True, return_nodes=False):
-        x = AtomEncoder(self.hidden_dim, name="atom_encoder")(g.node_feat)
-        e = BondEncoder(self.hidden_dim, name="bond_encoder")(g.edge_feat)
-        x = jnp.concatenate(
-            [x, self._noise((x.shape[0], self.random_vec_dim))], axis=-1)
-        e = jnp.concatenate(
-            [e, self._noise((e.shape[0], self.random_vec_dim))], axis=-1)
-        x = GeomolMLP(self.hidden_dim + self.random_vec_dim, self.hidden_dim,
-                      num_layers=2,
-                      batch_norm_momentum=self.batch_norm_momentum,
-                      name="node_init")(x, mask=g.node_mask,
-                                        deterministic=deterministic)
-        e = GeomolMLP(self.hidden_dim + self.random_vec_dim, self.hidden_dim,
-                      num_layers=2,
-                      batch_norm_momentum=self.batch_norm_momentum,
-                      name="edge_init")(e, mask=g.edge_mask,
-                                        deterministic=deterministic)
-        x, e = GeomolGNN(self.hidden_dim, self.hidden_dim, self.hidden_dim,
-                         self.depth, self.n_layers,
-                         name="gnn")(g, x, e, deterministic=deterministic)
+        from infomax3d_tpu.models.geomol_mpnn import GeomolGNNOGBFeatRandom
+        x, _ = GeomolGNNOGBFeatRandom(
+            self.hidden_dim, self.depth, self.n_layers,
+            random_vec_dim=self.random_vec_dim,
+            random_vec_std=self.random_vec_std, non_shared=True,
+            name="node_gnn")(g, deterministic=deterministic)
         pooled = segment_mean(x, g.node_graph, g.num_graphs)
-        out = MLP(out_dim=self.target_dim, hidden_size=self.hidden_dim,
+        out = MLP(out_dim=self.target_dim,
+                  hidden_size=self.readout_hidden_dim or self.hidden_dim,
                   layers=self.readout_layers,
                   mid_batch_norm=self.readout_batchnorm,
                   name="output")(pooled, mask=g.graph_mask,

@@ -154,7 +154,11 @@ class SMP(nn.Module):
     @nn.compact
     def __call__(self, g: GraphBatch, deterministic=True, return_nodes=False):
         N, E = g.num_nodes, g.num_edges
-        dist = g.edge_dist
+        # padded edges carry dist 0; the Bessel bases (1/d envelope,
+        # sin(x)/x) are NaN there and would poison the shared-frequency
+        # gradients even though the rows are masked downstream — pin padding
+        # to the cutoff, where the envelope vanishes
+        dist = jnp.where(g.edge_mask, g.edge_dist, self.cutoff)
         angle = g.extras["angle"]
         torsion = g.extras["torsion"]
         idx_kj = g.extras["idx_kj"]

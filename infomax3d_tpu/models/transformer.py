@@ -126,7 +126,11 @@ class PNATransformer(nn.Module):
     target_dim: int
     aggregators: Sequence[str]
     scalers: Sequence[str]
-    readout_aggregators: Sequence[str]
+    # the reference reads out through a prepended virtual token
+    # (pna_transformer.py:46-49); this redesign readouts by aggregation —
+    # mean is the closest single-vector equivalent and the default because
+    # the PNATransformer configs set no readout key
+    readout_aggregators: Sequence[str] = ("mean",)
     max_nodes: int = 40
     nhead: int = 4
     dim_feedforward: int = 256

@@ -48,9 +48,19 @@ def label_params(
     batch_norm_token: str = "BatchNorm",
 ):
     """Build a pytree of group indices (into GROUP_ORDER) matching the
-    reference's substring rules, and the list of active group names."""
+    reference's substring rules, and the list of active group names.
+
+    Config tokens are substrings of torch's dot-joined parameter names
+    ('gnn.', 'batch_norm' — trainer.py:216-238); paths here join with '/'
+    and spell BN 'MaskedBatchNorm', so both spellings are matched."""
+    transfer_layers = [t.replace(".", "/") for t in transfer_layers]
+    exclude_from_transfer = [t.replace(".", "/")
+                             for t in exclude_from_transfer]
+    frozen_layers = [t.replace(".", "/") for t in frozen_layers]
+
     def classify(path, _leaf):
         s = path_to_str(path)
+        s = s + "|" + s.replace("MaskedBatchNorm", "batch_norm")
         if any(f in s for f in frozen_layers):
             return 3
         transferred = (any(t in s for t in transfer_layers)

@@ -141,11 +141,62 @@ class ExponentialLR:
         self.__dict__.update(sd)
 
 
+class OneCycleLR:
+    """torch.optim.lr_scheduler.OneCycleLR semantics (wrapped inside
+    WarmUpWrapper by configs/transformer.yml): warm from max_lr/div_factor
+    to max_lr over pct_start of total_steps, then anneal to
+    initial_lr/final_div_factor over the remainder, 'cos' or 'linear'.
+    Momentum cycling is not replicated (the LR controller feeds Adam LRs
+    only — matching how the reference's per-batch stepping consumes it)."""
+
+    def __init__(self, lrs: Sequence[float], max_lr, epochs=None,
+                 steps_per_epoch=None, total_steps=None, pct_start=0.3,
+                 anneal_strategy="cos", div_factor=25.0,
+                 final_div_factor=1e4, verbose=False, **_ignored):
+        n = len(lrs)
+        if total_steps is None:
+            total_steps = int(epochs) * int(steps_per_epoch)
+        self.total_steps = int(total_steps)
+        self.max_lrs = list(max_lr) if isinstance(max_lr, (list, tuple)) \
+            else [float(max_lr)] * n
+        self.initial_lrs = [m / div_factor for m in self.max_lrs]
+        self.min_lrs = [i / final_div_factor for i in self.initial_lrs]
+        self.pct_start = float(pct_start)
+        self.anneal_strategy = anneal_strategy
+        self.last_epoch = 0
+        self.lrs = list(self.initial_lrs)
+
+    def _anneal(self, start, end, pct):
+        if self.anneal_strategy == "linear":
+            return start + (end - start) * pct
+        return end + (start - end) / 2.0 * (1.0 + math.cos(math.pi * pct))
+
+    def step(self, metrics=None):
+        self.last_epoch += 1
+        t = min(self.last_epoch, self.total_steps)
+        up = self.pct_start * self.total_steps
+        if t <= up:
+            pct = t / max(up, 1.0)
+            self.lrs = [self._anneal(i, m, pct)
+                        for i, m in zip(self.initial_lrs, self.max_lrs)]
+        else:
+            pct = (t - up) / max(self.total_steps - up, 1.0)
+            self.lrs = [self._anneal(m, mn, pct)
+                        for m, mn in zip(self.max_lrs, self.min_lrs)]
+
+    def state_dict(self):
+        return dict(self.__dict__)
+
+    def load_state_dict(self, sd):
+        self.__dict__.update(sd)
+
+
 WRAPPED_SCHEDULERS = {
     "ReduceLROnPlateau": ReduceLROnPlateau,
     "CosineAnnealingLR": CosineAnnealingLR,
     "StepLR": StepLR,
     "ExponentialLR": ExponentialLR,
+    "OneCycleLR": OneCycleLR,
 }
 
 

@@ -71,7 +71,10 @@ def test_pna_random_noise_changes_output():
 def test_geomol_wrappers():
     import jax
     from infomax3d_tpu.models import GeomolGNNWrapper, GeomolGNNWrapperOGBFeat
+    from infomax3d_tpu.models.geomol_mpnn import GeomolGNNWrapperOGBFeatRandom
     g = batch()
+    # plain OGBFeat wrapper has NO random vectors (reference
+    # geomol_mpnn_ogb_feat.py:52-56 — noise belongs to the Random sibling)
     m1 = GeomolGNNWrapperOGBFeat(hidden_dim=32, depth=2, n_layers=2,
                                  target_dim=3)
     vs = m1.init(jax.random.key(0), g, deterministic=True)
@@ -81,7 +84,18 @@ def test_geomol_wrappers():
                   rngs={"random": jax.random.key(2)})
     assert o1.shape == (5, 3)
     assert np.isfinite(np.asarray(o1)).all()
-    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-7
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    # the Random sibling IS noise-dependent (geomol_mpnn_ogb_feat_random.py)
+    mr = GeomolGNNWrapperOGBFeatRandom(hidden_dim=32, depth=2, n_layers=2,
+                                       target_dim=3)
+    vsr = mr.init(jax.random.key(0), g, deterministic=True)
+    r1 = mr.apply(vsr, g, deterministic=True,
+                  rngs={"random": jax.random.key(1)})
+    r2 = mr.apply(vsr, g, deterministic=True,
+                  rngs={"random": jax.random.key(2)})
+    assert np.isfinite(np.asarray(r1)).all()
+    assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 1e-7
 
     # float one-hot variant
     import jax.numpy as jnp
