@@ -98,6 +98,11 @@ def main():
     use_bf16 = (os.environ.get("INFOMAX3D_BF16", "1") != "0"
                 and jax.default_backend() != "cpu")
     cdt = jnp.bfloat16 if use_bf16 else None
+    if use_bf16:
+        # gate the fused bf16 stats kernel on an actual on-chip compile
+        # (falls back to csr_multi_reduce if Mosaic rejects it)
+        from infomax3d_tpu.ops.pallas.spmm import preflight_stats_kernel
+        preflight_stats_kernel()
 
     def _in(t):
         return cast_floats(t, cdt) if cdt else t

@@ -96,6 +96,11 @@ class Trainer:
         from infomax3d_tpu.train.precision import resolve_compute_dtype
         self.compute_dtype = resolve_compute_dtype(
             args.get("bf16_compute", "auto")) if self.supports_bf16 else None
+        if self.compute_dtype is not None:
+            # gate the fused bf16 stats kernel on a real on-chip compile —
+            # a Mosaic rejection degrades to csr_multi_reduce, not a crash
+            from infomax3d_tpu.ops.pallas.spmm import preflight_stats_kernel
+            preflight_stats_kernel()
         self.run_dir = run_dir
         self.mesh = mesh
         os.makedirs(run_dir, exist_ok=True)
