@@ -663,3 +663,99 @@ def test_pna_layer_stats_kernel_bf16_parity():
     assert np.isfinite(g_stats).all()
     scale = np.abs(g_f32).max() + 1e-9
     assert np.abs(g_stats - g_f32).max() / scale < 0.15
+
+
+# ---------------------------------------------------------------------------
+# GeoMol OGB-feature GNN family (models/geomol_mpnn.py,
+# models/geomol_mpnn_ogb_feat.py) — full wrapper golden parity
+# ---------------------------------------------------------------------------
+
+def _global_mean_pool(x, batch):
+    B = int(batch.max()) + 1
+    out = torch.zeros((B, x.size(1)), dtype=x.dtype)
+    cnt = torch.zeros(B, dtype=x.dtype)
+    out.index_add_(0, batch, x)
+    cnt.index_add_(0, batch, torch.ones(x.size(0), dtype=x.dtype))
+    return out / cnt[:, None]
+
+
+sys.modules["torch_scatter"].scatter_sum = \
+    lambda src, index, dim=0, dim_size=None: _torch_scatter_add(
+        src, index, dim=dim, dim_size=dim_size)
+sys.modules["torch_geometric.nn"].global_mean_pool = _global_mean_pool
+sys.modules["torch_geometric"].data = types.SimpleNamespace()
+
+
+def copy_geomol_mlp(ref_mlp):
+    """torch GeomolMLP (alternating Linear/activation ModuleList,
+    geomol_mpnn.py:12-45) -> flax GeomolMLP Dense_{i} params."""
+    linears = [m for m in ref_mlp.layers if isinstance(m, torch.nn.Linear)]
+    return {f"Dense_{i}": lin(m) for i, m in enumerate(linears)}
+
+
+def test_geomol_wrapper_ogbfeat_golden():
+    """Reference GeomolGNNWrapperOGBFeat (real torch code,
+    geomol_mpnn_ogb_feat.py:14-56: encoders -> init MLPs -> shared
+    meta-layer x depth -> mean pool -> MLP head) vs ours with copied
+    weights — validates the round-2 rewrite of this family (the old
+    wrapper wrongly injected the Random sibling's noise)."""
+    sys.path.insert(0, "/root/reference")
+    from models.geomol_mpnn_ogb_feat import (  # noqa: E402
+        GeomolGNNWrapperOGBFeat as RefWrapper)
+    sys.path.pop(0)
+    from test_layer_golden import copy_mlp
+    from infomax3d_tpu.models.geomol_mpnn import GeomolGNNWrapperOGBFeat
+
+    rng = np.random.default_rng(7)
+    n, hidden, target = 11, 16, 5
+    src, dst = random_graph(rng, n)
+    atom_codes = np.stack(
+        [rng.integers(0, d, n) for d in (119, 5, 12, 12, 10, 6, 6, 2, 2)],
+        axis=1).astype(np.int32)
+    bond_codes = np.stack(
+        [rng.integers(0, d, len(src)) for d in (5, 6, 2)],
+        axis=1).astype(np.int32)
+
+    torch.manual_seed(0)
+    ref = RefWrapper(hidden_dim=hidden, target_dim=target, depth=2,
+                     n_layers=2, readout_batchnorm=False)
+    ref.eval()
+    data = types.SimpleNamespace(
+        z=torch.from_numpy(atom_codes.astype(np.int64)),
+        edge_index=torch.stack([torch.from_numpy(src.astype(np.int64)),
+                                torch.from_numpy(dst.astype(np.int64))]),
+        edge_attr=torch.from_numpy(bond_codes.astype(np.int64)),
+        batch=torch.zeros(n, dtype=torch.int64))
+    out_ref = ref(data).detach().numpy()
+
+    mine = GeomolGNNWrapperOGBFeat(hidden_dim=hidden, target_dim=target,
+                                   depth=2, n_layers=2,
+                                   readout_batchnorm=False)
+    g = dict(node_feat=atom_codes, senders=src, receivers=dst,
+             edge_feat=bond_codes)
+    gb = to_graph_batch(batch_graphs([g], BucketSpec(2, n + 3, len(src) + 4)))
+
+    rg = ref.node_gnn
+    gnn_params = {
+        "node_init": copy_geomol_mlp(rg.node_init),
+        "edge_init": copy_geomol_mlp(rg.edge_init),
+        "edge_model": {"edge": lin(rg.update.edge_model.edge),
+                       "node_in": lin(rg.update.edge_model.node_in),
+                       "node_out": lin(rg.update.edge_model.node_out),
+                       "mlp": copy_geomol_mlp(rg.update.edge_model.mlp)},
+        "node_model": {
+            "node_mlp_1": copy_geomol_mlp(rg.update.node_model.node_mlp_1),
+            "node_mlp_2": copy_geomol_mlp(rg.update.node_model.node_mlp_2)},
+        "edge_eps": jnp.asarray(rg.update.edge_eps.detach().numpy()),
+        "node_eps": jnp.asarray(rg.update.node_eps.detach().numpy()),
+    }
+    out_p, out_s = {}, {}
+    copy_mlp(ref.output, out_p, out_s)
+    params = {"node_gnn": {"atom_encoder": enc(rg.atom_encoder),
+                           "bond_encoder": enc(rg.bond_encoder),
+                           "gnn": gnn_params},
+              "output": out_p}
+    out = mine.apply({"params": params}, gb, deterministic=True)
+    # padded graph slot contributes a masked row only
+    np.testing.assert_allclose(np.asarray(out)[0], out_ref[0],
+                               rtol=2e-4, atol=2e-4)
