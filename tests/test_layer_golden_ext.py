@@ -759,3 +759,140 @@ def test_geomol_wrapper_ogbfeat_golden():
     # padded graph slot contributes a masked row only
     np.testing.assert_allclose(np.asarray(out)[0], out_ref[0],
                                rtol=2e-4, atol=2e-4)
+
+
+class _ZeroNormal:
+    """Deterministic stand-in for torch.distributions Normal: the reference
+    wrappers draw their noise inline, so zeroing the draw (= the flax side
+    without a 'random' rng) makes the noise-augmented wrappers exactly
+    comparable while still exercising the +rvd widened init MLPs."""
+
+    def __init__(self, loc, scale):
+        pass
+
+    def sample(self, shape):
+        return torch.zeros(shape)
+
+
+def _geomol_gnn_params(rg):
+    p = {
+        "node_init": copy_geomol_mlp(rg.node_init),
+        "edge_init": copy_geomol_mlp(rg.edge_init),
+    }
+    if hasattr(rg, "update"):                      # shared meta-layer
+        metas, sfx = [rg.update], [""]
+    else:                                          # non-shared ModuleList
+        metas = list(rg.layers)
+        sfx = [f"_{i}" for i in range(len(metas))]
+    for m, s in zip(metas, sfx):
+        p[f"edge_model{s}"] = {"edge": lin(m.edge_model.edge),
+                               "node_in": lin(m.edge_model.node_in),
+                               "node_out": lin(m.edge_model.node_out),
+                               "mlp": copy_geomol_mlp(m.edge_model.mlp)}
+        p[f"node_model{s}"] = {
+            "node_mlp_1": copy_geomol_mlp(m.node_model.node_mlp_1),
+            "node_mlp_2": copy_geomol_mlp(m.node_model.node_mlp_2)}
+        p[f"edge_eps{s}"] = jnp.asarray(m.edge_eps.detach().numpy())
+        p[f"node_eps{s}"] = jnp.asarray(m.node_eps.detach().numpy())
+    return p
+
+
+def test_geomol_wrapper_plain_golden(monkeypatch):
+    """Reference GeomolGNNWrapper (geomol_mpnn.py:138-164): raw float
+    features + noise columns -> GeomolGNN(node_dim+10) -> mean pool ->
+    1-dim MLP head."""
+    monkeypatch.setattr(torch.distributions.normal, "Normal", _ZeroNormal)
+    sys.path.insert(0, "/root/reference")
+    from models.geomol_mpnn import GeomolGNNWrapper as RefPlain  # noqa: E402
+    sys.path.pop(0)
+    from test_layer_golden import copy_mlp
+    from infomax3d_tpu.models.geomol_mpnn import GeomolGNNWrapper
+
+    rng = np.random.default_rng(9)
+    n, nd, ed, hidden = 10, 7, 4, 16
+    src, dst = random_graph(rng, n)
+    x = rng.normal(size=(n, nd)).astype(np.float32)
+    ea = rng.normal(size=(len(src), ed)).astype(np.float32)
+
+    torch.manual_seed(1)
+    ref = RefPlain(hidden_dim=hidden, node_dim=nd, edge_dim=ed,
+                   readout_batchnorm=False, depth=2, n_layers=2)
+    ref.eval()
+    data = types.SimpleNamespace(
+        z=torch.from_numpy(x), edge_index=torch.stack(
+            [torch.from_numpy(src.astype(np.int64)),
+             torch.from_numpy(dst.astype(np.int64))]),
+        edge_attr=torch.from_numpy(ea),
+        batch=torch.zeros(n, dtype=torch.int64))
+    out_ref = ref(data).detach().numpy()
+
+    mine = GeomolGNNWrapper(hidden_dim=hidden, node_dim=nd, edge_dim=ed,
+                            depth=2, n_layers=2, readout_batchnorm=False,
+                            target_dim=1)
+    g = dict(node_feat=x, senders=src, receivers=dst, edge_feat=ea)
+    gb = to_graph_batch(batch_graphs([g], BucketSpec(2, n + 3, len(src) + 4)))
+    out_p, out_s = {}, {}
+    copy_mlp(ref.output, out_p, out_s)
+    params = {"gnn": _geomol_gnn_params(ref.gnn), "output": out_p}
+    out = mine.apply({"params": params}, gb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out)[0], out_ref[0],
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("non_shared", [False, True])
+def test_geomol_wrapper_ogbfeat_random_golden(monkeypatch, non_shared):
+    """Reference GeomolGNNWrapperOGBFeatRandom (+ the NonShared sibling with
+    per-depth meta-layers): encoders -> +noise columns -> widened init MLPs
+    -> meta-layers -> mean pool -> head."""
+    monkeypatch.setattr(torch.distributions.normal, "Normal", _ZeroNormal)
+    sys.path.insert(0, "/root/reference")
+    if non_shared:
+        from models.geomol_mpnn_ogb_feat_random_non_shared import (  # noqa
+            GeomolGNNWrapperOGBFeatRandomNonShared as RefW)
+    else:
+        from models.geomol_mpnn_ogb_feat_random import (  # noqa: E402
+            GeomolGNNWrapperOGBFeatRandom as RefW)
+    sys.path.pop(0)
+    from test_layer_golden import copy_mlp
+    from infomax3d_tpu.models.geomol_mpnn import GeomolGNNWrapperOGBFeatRandom
+    from infomax3d_tpu.models.random_variants import (
+        GeomolGNNWrapperOGBFeatRandomNonShared)
+
+    rng = np.random.default_rng(11)
+    n, hidden, target = 9, 16, 3
+    src, dst = random_graph(rng, n)
+    atom_codes = np.stack(
+        [rng.integers(0, d, n) for d in (119, 5, 12, 12, 10, 6, 6, 2, 2)],
+        axis=1).astype(np.int32)
+    bond_codes = np.stack(
+        [rng.integers(0, d, len(src)) for d in (5, 6, 2)],
+        axis=1).astype(np.int32)
+
+    torch.manual_seed(2)
+    ref = RefW(hidden_dim=hidden, target_dim=target, readout_batchnorm=False,
+               gnn_params=dict(hidden_dim=hidden, depth=2, n_layers=2))
+    ref.eval()
+    data = types.SimpleNamespace(
+        z=torch.from_numpy(atom_codes.astype(np.int64)),
+        edge_index=torch.stack([torch.from_numpy(src.astype(np.int64)),
+                                torch.from_numpy(dst.astype(np.int64))]),
+        edge_attr=torch.from_numpy(bond_codes.astype(np.int64)),
+        batch=torch.zeros(n, dtype=torch.int64))
+    out_ref = ref(data).detach().numpy()
+
+    cls = GeomolGNNWrapperOGBFeatRandomNonShared if non_shared \
+        else GeomolGNNWrapperOGBFeatRandom
+    mine = cls(hidden_dim=hidden, target_dim=target, depth=2, n_layers=2,
+               readout_batchnorm=False)
+    g = dict(node_feat=atom_codes, senders=src, receivers=dst,
+             edge_feat=bond_codes)
+    gb = to_graph_batch(batch_graphs([g], BucketSpec(2, n + 3, len(src) + 4)))
+    out_p, out_s = {}, {}
+    copy_mlp(ref.output, out_p, out_s)
+    params = {"node_gnn": {"atom_encoder": enc(ref.node_gnn.atom_encoder),
+                           "bond_encoder": enc(ref.node_gnn.bond_encoder),
+                           "gnn": _geomol_gnn_params(ref.node_gnn)},
+              "output": out_p}
+    out = mine.apply({"params": params}, gb, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out)[0], out_ref[0],
+                               rtol=2e-4, atol=2e-4)
