@@ -42,6 +42,12 @@ class DenseGraphBatch:
         """[G, N, N] valid (real i, real j) pairs."""
         return self.node_mask[:, :, None] & self.node_mask[:, None, :]
 
+    @property
+    def graph_mask(self) -> jnp.ndarray:
+        """[G] True where the graph slot holds a real molecule (same
+        contract as GraphBatch.graph_mask — padded slots have no nodes)."""
+        return self.node_mask.any(axis=1)
+
 
 def dense_batch(graphs: Sequence[Dict[str, np.ndarray]], n_graphs: int,
                 max_nodes: int, extras_keys: Sequence[str] = (),
