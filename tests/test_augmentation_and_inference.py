@@ -68,3 +68,35 @@ def test_fingerprint_inference(tmp_path):
     assert fp.shape == (40, 32)
     assert np.isfinite(fp).all()
     assert (tmp_path / "fingerprints.npy").exists()
+
+
+def test_analysis_singular_values(tmp_path):
+    """cli/analysis.py (reference singular_value_plots.py:1-110): fingerprint
+    inference -> centered singular-value spectrum -> json (+png)."""
+    import json
+
+    import yaml
+
+    from infomax3d_tpu.cli.analysis import main, singular_value_spectrum
+
+    cfg = dict(
+        dataset="synthetic", dataset_params={"num": 30, "n_max": 14},
+        batch_size=16, model_type="PNA",
+        model_parameters=dict(
+            target_dim=24, hidden_dim=16, aggregators=["mean", "max"],
+            scalers=["identity"], readout_aggregators=["mean"],
+            propagation_depth=1, readout_layers=1, readout_batchnorm=False),
+        output_dir=str(tmp_path))
+    cfg_path = tmp_path / "analysis.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    payload = main(["--config", str(cfg_path)])
+    assert payload["n_samples"] == 30 and payload["dim"] == 24
+    sv = np.asarray(payload["singular_values_pct"])
+    assert np.isfinite(sv).all() and abs(sv.sum() - 100.0) < 1e-3
+    assert (sv[:-1] >= sv[1:] - 1e-9).all()      # descending spectrum
+    assert json.load(open(tmp_path / "singular_values.json"))
+
+    # spectrum math: centered identity has rank 3 -> three equal shares
+    eye = np.eye(4, dtype=np.float32)
+    sp = singular_value_spectrum(eye)
+    np.testing.assert_allclose(sp, [100 / 3] * 3 + [0.0], atol=1e-4)
