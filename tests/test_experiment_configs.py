@@ -189,6 +189,15 @@ def test_step_sphere_net_smp(env_data, tmp_path):
     assert np.isfinite(res["L1Loss"])
 
 
+def test_step_smp_rdkit_conformers(env_data, tmp_path):
+    """SMP on the RDKit-conformer QM9 cache (configs/SMP_rdkit_conformers.yml
+    -> dataset qm9_rdkit, reference qm9_dataset_rdkit_conformers.py)."""
+    args, res = _run("SMP_rdkit_conformers.yml", tmp_path,
+                     batch_size=8, num_train=16)
+    assert args["dataset"] == "qm9_rdkit"
+    assert np.isfinite(res["L1Loss"])
+
+
 def test_step_transformer_plain(env_data, tmp_path):
     args, res = _run("transformer.yml", tmp_path, batch_size=16, num_train=32)
     assert args["model_type"] == "TransformerPlain"

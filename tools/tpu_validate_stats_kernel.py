@@ -1,0 +1,164 @@
+"""On-chip validation + A/B for the fused bf16 stats kernel.
+
+Run the moment the TPU tunnel is back (round-3 candidate #1 — the kernel
+shipped in round 2 with CPU interpret-mode parity only):
+
+  python tools/tpu_validate_stats_kernel.py
+
+Steps:
+1. preflight compile (ops/pallas/spmm.py::preflight_stats_kernel),
+2. fwd+bwd parity vs the f32 csr_multi_reduce path on a realistic CSR
+   batch (bf16-appropriate tolerances),
+3. bench.py A/B: INFOMAX3D_STATS_KERNEL=1 vs =0 (reads .bench_history.json
+   between runs and restores it afterwards).
+
+Prints one JSON line per step and exits non-zero on parity failure.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def parity(interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from infomax3d_tpu.ops.pallas import spmm
+
+    rng = np.random.default_rng(0)
+    N, E, D, max_deg = 2048, 16384, 200, 24
+    recv = np.sort(rng.integers(0, N, E)).astype(np.int32)
+    row_ptr = np.zeros(N + 1, np.int32)
+    np.add.at(row_ptr[1:], recv, 1)
+    row_ptr = np.cumsum(row_ptr).astype(np.int32)
+    msgs = rng.normal(size=(E, D)).astype(np.float32)
+    msgs_bf = jnp.asarray(msgs, jnp.bfloat16)
+    rp, rc = jnp.asarray(row_ptr), jnp.asarray(recv)
+    md = int(np.diff(row_ptr).max())
+
+    def k_out(m):
+        s1, mean, std, mx, mn = spmm.csr_pna_stats(m, rp, rc, md, interpret)
+        return jnp.stack([s1.astype(jnp.float32), mean.astype(jnp.float32),
+                          std.astype(jnp.float32), mx.astype(jnp.float32),
+                          mn.astype(jnp.float32)])
+
+    def f_out(m):
+        s1, s2, mx, mn = spmm.csr_multi_reduce(m.astype(jnp.float32),
+                                               rp, rc, md, interpret)
+        deg = jnp.maximum((rp[1:] - rp[:-1]).astype(jnp.float32), 1.0)[:, None]
+        mean = s1 / deg
+        var = jax.nn.relu(s2 / deg - mean ** 2) + spmm.EPS
+        return jnp.stack([s1, mean, jnp.sqrt(var), mx, mn])
+
+    def k_out_interp(m):
+        s = spmm.csr_pna_stats(m, rp, rc, md, True)
+        return jnp.stack([x.astype(jnp.float32) for x in s])
+
+    # fwd: hardware kernel vs (a) interpret-mode kernel (same semantics —
+    # differences are MXU bf16 accumulation only) and (b) the f32
+    # csr_multi_reduce path (bf16-output budget)
+    got = np.asarray(jax.jit(k_out)(msgs_bf))
+    want_i = np.asarray(jax.jit(k_out_interp)(msgs_bf)) if not interpret \
+        else got
+    want_f = np.asarray(jax.jit(f_out)(msgs_bf))
+    rel_i = (np.abs(got - want_i).max(axis=(1, 2)) /
+             (np.abs(want_i).max(axis=(1, 2)) + 1e-9))
+    rel_f = (np.abs(got - want_f).max(axis=(1, 2)) /
+             (np.abs(want_f).max(axis=(1, 2)) + 1e-9))
+    ok_fwd = bool((rel_i < 0.05).all() and (rel_f < 0.05).all())
+
+    # bwd, smooth part (sum/mean/std cotangents; zero on max/min): strict —
+    # the analytic VJP has no tie-routing freedom here.  max/min cotangents
+    # route by bf16-equality (ALL rounding-ties receive the cotangent, by
+    # design — ops/pallas/spmm.py::_bwd), so vs the f32 path only the
+    # outlier FRACTION is bounded.
+    ct = rng.normal(size=(5, N, D)).astype(np.float32)
+    ct_smooth = ct.copy()
+    ct_smooth[3:] = 0.0
+    ct, ct_smooth = jnp.asarray(ct), jnp.asarray(ct_smooth)
+
+    def grad_of(fn, c):
+        return np.asarray(jax.jit(jax.grad(
+            lambda m: jnp.sum(fn(m) * c)))(msgs_bf).astype(jnp.float32))
+
+    gk_s = grad_of(k_out, ct_smooth)
+    gf_s = grad_of(f_out, ct_smooth)
+    gi_s = grad_of(k_out_interp, ct_smooth) if not interpret else gk_s
+    # primary: hardware == interpret (identical semantics; only MXU bf16
+    # accumulation differs).  vs f32 uses the budget the model-level bf16
+    # parity test established (0.15 of global max — bf16 mean/std rounding
+    # amplified by small-std nodes)
+    hw_rel = np.abs(gk_s - gi_s).max() / (np.abs(gi_s).max() + 1e-9)
+    sm_rel = np.abs(gk_s - gf_s).max() / (np.abs(gf_s).max() + 1e-9)
+    gk = grad_of(k_out, ct)
+    gf = grad_of(f_out, ct)
+    big = np.abs(gk - gf) > 0.02 * (np.abs(gf).max() + 1e-9)
+    outlier_frac = float(big.mean())
+    ok_bwd = bool(np.isfinite(gk).all() and hw_rel < 0.05 and
+                  sm_rel < 0.15 and outlier_frac < 0.02)
+    print(json.dumps({"step": "parity",
+                      "fwd_rel_vs_interp": rel_i.tolist(),
+                      "fwd_rel_vs_f32": rel_f.tolist(),
+                      "bwd_hw_vs_interp_rel": float(hw_rel),
+                      "bwd_smooth_rel_vs_f32": float(sm_rel),
+                      "bwd_tie_outlier_frac": outlier_frac,
+                      "ok_fwd": ok_fwd, "ok_bwd": ok_bwd}))
+    return ok_fwd and ok_bwd
+
+
+def bench_ab():
+    hist = os.path.join(REPO, ".bench_history.json")
+    backup = hist + ".bak"
+    if os.path.exists(hist):
+        shutil.copy(hist, backup)
+    results = {}
+    try:
+        for flag in ("1", "0"):
+            env = dict(os.environ, INFOMAX3D_STATS_KERNEL=flag)
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=1200)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            results[flag] = json.loads(line[-1]) if line else \
+                {"error": out.stderr[-500:]}
+            print(json.dumps({"step": f"bench kernel={flag}",
+                              **results[flag]}))
+    finally:
+        if os.path.exists(backup):
+            shutil.move(backup, hist)
+    return results
+
+
+def main():
+    import jax
+    from infomax3d_tpu.ops.pallas.spmm import preflight_stats_kernel
+    if os.environ.get("INFOMAX3D_VALIDATE_INTERPRET") == "1":
+        # CPU self-check of this script's logic (tests/test_pallas_spmm.py
+        # covers the kernel math; this validates the harness)
+        ok = parity(interpret=True)
+        print(json.dumps({"verdict": "PASS" if ok else "PARITY FAIL",
+                          "mode": "interpret"}))
+        return 0 if ok else 2
+    dev = str(jax.devices()[0])
+    ok_pre = preflight_stats_kernel()
+    print(json.dumps({"step": "preflight", "device": dev, "ok": ok_pre}))
+    if not ok_pre:
+        print(json.dumps({"verdict": "kernel rejected on-chip; dispatch "
+                                     "falls back (keep the gate)"}))
+        return 1
+    ok = parity()
+    bench_ab()
+    print(json.dumps({"verdict": "PASS" if ok else "PARITY FAIL"}))
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
