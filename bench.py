@@ -133,12 +133,20 @@ def main():
     params, opt_state, loss = step(params, opt_state, stats, g2c, g3c)
     jax.block_until_ready(loss)
 
+    # INFOMAX3D_PROFILE=<dir>: wrap the timing loop in a jax.profiler trace
+    # (parse with tools/parse_trace.py).  Profiled timings are skewed, so
+    # the run does NOT update .bench_history.json.
+    prof_dir = os.environ.get("INFOMAX3D_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     n_iter = 30
     t0 = time.perf_counter()
     for _ in range(n_iter):
         params, opt_state, loss = step(params, opt_state, stats, g2c, g3c)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / n_iter
+    if prof_dir:
+        jax.profiler.stop_trace()
 
     edges_per_step = e2 + e3
     edges_per_s = edges_per_step / dt
@@ -184,7 +192,7 @@ def main():
                 prev = None
         vs_baseline = (edges_per_s / prev) if prev else 1.0
         baseline_kind = "vs previous run"
-    with open(HIST, "w") as f:
+    with open(HIST if not prof_dir else HIST + ".profiled", "w") as f:
         json.dump({"edges_per_s": edges_per_s, "graphs_per_s": graphs_per_s,
                    "step_ms": dt * 1e3, "batch": B,
                    "edges_per_step": edges_per_step, "bf16": use_bf16,
