@@ -173,14 +173,16 @@ class OneCycleLR:
 
     def step(self, metrics=None):
         self.last_epoch += 1
-        t = min(self.last_epoch, self.total_steps)
-        up = self.pct_start * self.total_steps
-        if t <= up:
-            pct = t / max(up, 1.0)
+        # torch's phase boundaries: up ends at pct_start*total - 1, the
+        # cycle at total - 1 (lr_scheduler.py OneCycleLR._schedule_phases)
+        t = min(self.last_epoch, self.total_steps - 1)
+        up_end = float(self.pct_start * self.total_steps) - 1.0
+        if t <= up_end:
+            pct = t / max(up_end, 1e-12)
             self.lrs = [self._anneal(i, m, pct)
                         for i, m in zip(self.initial_lrs, self.max_lrs)]
         else:
-            pct = (t - up) / max(self.total_steps - up, 1.0)
+            pct = (t - up_end) / max(self.total_steps - 1.0 - up_end, 1e-12)
             self.lrs = [self._anneal(m, mn, pct)
                         for m, mn in zip(self.max_lrs, self.min_lrs)]
 

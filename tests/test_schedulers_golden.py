@@ -89,3 +89,29 @@ def test_lr_controller_flow():
                       step_per_batch=False)
     c2.load_state_dict(sd)
     assert c2.lrs == c.lrs
+
+
+@pytest.mark.parametrize("anneal", ["linear", "cos"])
+def test_onecycle_vs_torch(anneal):
+    """OneCycleLR golden vs torch (configs/transformer.yml wraps it inside
+    WarmUpWrapper with anneal_strategy linear)."""
+    from infomax3d_tpu.train.schedulers import OneCycleLR
+
+    lrs = [1e-3, 5e-4]
+    params = [torch.nn.Parameter(torch.zeros(2)) for _ in lrs]
+    groups = [{"params": [p], "lr": lr} for p, lr in zip(params, lrs)]
+    optim = torch.optim.Adam(groups, lr=lrs[0])
+    torch_sched = torch.optim.lr_scheduler.OneCycleLR(
+        optim, max_lr=2e-4, epochs=4, steps_per_epoch=10,
+        anneal_strategy=anneal, cycle_momentum=False)
+    ours = OneCycleLR(lrs, max_lr=2e-4, epochs=4, steps_per_epoch=10,
+                      anneal_strategy=anneal)
+    np.testing.assert_allclose(
+        ours.lrs, [g["lr"] for g in optim.param_groups], rtol=1e-6)
+    for _ in range(39):
+        optim.step()
+        torch_sched.step()
+        ours.step()
+        np.testing.assert_allclose(
+            ours.lrs, [g["lr"] for g in optim.param_groups], rtol=1e-5,
+            err_msg=f"step {torch_sched.last_epoch}")
