@@ -334,8 +334,18 @@ def build_models(args: Dict[str, Any], dataset=None) -> Dict[str, Any]:
             models["model3d"] = _byol_wrap(args["model3d_type"],
                                            args.get("model3d_parameters") or {})
         else:
-            mp3 = _adapt_model_params(_g(args["model3d_type"]),
+            m3_cls = _g(args["model3d_type"])
+            mp3 = _adapt_model_params(m3_cls,
                                       args.get("model3d_parameters") or {})
+            # reference builds every 3D net with node_dim=0 (no input node
+            # features) and edge_dim = the distance width (train.py:166-171)
+            import dataclasses as _dc
+            f3 = {f.name for f in _dc.fields(m3_cls)} \
+                if _dc.is_dataclass(m3_cls) else set()
+            if "node_dim" in f3:
+                mp3.setdefault("node_dim", 0)
+            if "edge_dim" in f3:
+                mp3.setdefault("edge_dim", 1)
             m3_type = args["model3d_type"]
             if args.get("_dense_3d") and m3_type == "Net3D":
                 m3_type = "Net3DDense"       # parameter-compatible fast path

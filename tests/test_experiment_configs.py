@@ -101,6 +101,77 @@ def test_config_resolves(name, tmp_path, monkeypatch):
 
 
 @pytest.fixture(scope="module")
+def full_data_root(tmp_path_factory):
+    """A small synthetic cache for EVERY dataset name any config uses."""
+    root = tmp_path_factory.mktemp("alldata")
+    ogbg = ("molbace molbbbp molclintox molesol molfreesolv molhiv mollipo "
+            "molmuv molpcba molsider moltox21 moltoxcast").split()
+    targets = {"molpcba": 128, "molclintox": 2, "moltox21": 12,
+               "moltoxcast": 617, "molmuv": 17, "molsider": 27}
+    for i, n in enumerate(ogbg):
+        write_synthetic_cache(str(root / f"ogbg_{n}" / "processed.npz"),
+                              num=60, num_targets=targets.get(n, 1),
+                              seed=100 + i, split="scaffold")
+    write_synthetic_cache(str(root / "QM9" / "processed.npz"),
+                          num=80, num_targets=19, seed=120)
+    write_synthetic_cache(str(root / "QM9_rdkit" / "processed.npz"),
+                          num=60, num_targets=19, num_conformers=3, seed=121)
+    write_synthetic_cache(str(root / "qm9_geomol" / "processed.npz"),
+                          num=60, num_targets=19, num_conformers=3, seed=122)
+    write_synthetic_cache(str(root / "QMugs" / "processed.npz"),
+                          num=60, num_conformers=3, seed=123)
+    write_synthetic_cache(str(root / "GEOM_Drugs" / "processed.npz"),
+                          num=60, num_conformers=5, seed=124)
+    write_synthetic_cache(str(root / "GEOM_QM9" / "processed.npz"),
+                          num=60, num_conformers=5, seed=125)
+    write_synthetic_cache(str(root / "pcqm4m" / "processed.npz"),
+                          num=60, num_targets=1, seed=126, split="random")
+    for n in ("file_loader_qm9", "file_loader_drugs", "ot_pyg_geom_qm9"):
+        write_synthetic_cache(str(root / n / "processed.npz"),
+                              num=30, num_conformers=10, seed=127,
+                              n_min=4, n_max=12)
+    return str(root)
+
+
+@pytest.mark.parametrize("name", ALL_CONFIGS)
+def test_config_builds(name, full_data_root, monkeypatch, tmp_path):
+    """Beyond name resolution: every config constructs its dataset, splits,
+    metrics, and MODELS (flax dataclass validation of model_parameters)
+    through the real build path."""
+    if name in SKIP:
+        pytest.skip(SKIP[name])
+    raw = yaml.safe_load(open(os.path.join(CONFIG_DIR, name))) or {}
+    if raw.get("checkpoint") and "model_type" not in raw:
+        pytest.skip("checkpoint-resume pointer into a run dir the reference "
+                    "does not ship (model params live in its "
+                    "train_arguments.yaml)")
+    monkeypatch.setenv("INFOMAX3D_DATA", full_data_root)
+    from infomax3d_tpu.cli.train import (apply_dataset_protocol,
+                                         build_dataset, build_metrics,
+                                         build_models, make_splits,
+                                         resolve_fast_paths)
+    args = load_config(os.path.join(CONFIG_DIR, name),
+                       dict(logdir=str(tmp_path), num_train=16,
+                            batch_size=8, num_conformers=min(
+                                3, yaml.safe_load(open(os.path.join(
+                                    CONFIG_DIR, name))).get(
+                                        "num_conformers", 1) or 1),
+                            pretrain_checkpoint=None))
+    ds = build_dataset(args)
+    apply_dataset_protocol(args, ds)
+    ms = [m for m in args["metrics"]
+          if m not in UPSTREAM_BROKEN_METRICS.get(name, set())]
+    build_metrics({**args, "metrics": ms}, ds)
+    resolve_fast_paths(args)
+    tr, va, te = make_splits(args, ds)
+    assert len(tr) > 0 and len(va) > 0
+    models = build_models(args, ds)
+    assert "model" in models
+    if args.get("model3d_type"):
+        assert "model3d" in models
+
+
+@pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("expdata")
     write_synthetic_cache(str(root / "QM9" / "processed.npz"),
