@@ -96,3 +96,29 @@ def test_random_conformer_sampling(tmp_path):
     fixed = CachedMoleculeDataset(str(path))
     assert np.allclose(fixed[0]["graph3d"]["coords"],
                        cache["coordinates"][:, 0])
+
+
+def test_loader_prefetch_propagates_errors():
+    """A collate failure inside the prefetch worker thread must surface as
+    the original exception, not silently end iteration (it previously
+    surfaced as a bogus StopIteration)."""
+    import pytest
+
+    from infomax3d_tpu.data.loader import GraphDataLoader
+    from infomax3d_tpu.data.synthetic import SyntheticMolecules
+
+    class DS:
+        def __init__(self):
+            self.ds = SyntheticMolecules(8, seed=0, n_min=10, n_max=14)
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"graph2d": self.ds.graph2d(i)}
+
+    tiny = BucketSpec(8, 4, 4)           # guaranteed overflow
+    loader = GraphDataLoader(DS(), 8, "graph_only_collate", bucket=tiny,
+                             prefetch=2)
+    with pytest.raises(ValueError, match="bucket"):
+        next(iter(loader))
