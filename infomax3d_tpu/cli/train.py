@@ -130,8 +130,15 @@ def build_dataset(args: Dict[str, Any]):
     params = dict(args.get("dataset_params") or {})
     data_dir = os.environ.get("INFOMAX3D_DATA", "dataset")
     needs_conformers = any("conform" in str(r) for r in args["required_data"]) \
-        or "conformer" in args["collate_function"]
+        or "conformer" in args["collate_function"].lower()
     n_conf = args["num_conformers"] if needs_conformers else 1
+    if needs_conformers:
+        # configs may size the conformer set on the collate instead
+        # (configs/contrastive_training_multiple_positives.yml:
+        # collate_params.num_conformers)
+        n_conf = max(n_conf,
+                     int((args.get("collate_params") or {})
+                         .get("num_conformers", 0)))
     if any(str(r) == "complete_graph_random_conformer"
            for r in args["required_data"]):
         # reference qmugs_dataset.py:187-193 — one uniformly sampled stored
@@ -488,7 +495,10 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
     contrastive = collate in ("contrastive_collate", "conformer_collate",
                               "contrastive_collate_ae")
     if collate == "conformer_collate":
-        C = args["num_conformers"]
+        # the served conformer count (dataset clamps to what the cache
+        # stores; collate_params.num_conformers may have raised it)
+        C = int(getattr(dataset, "num_conformers", args["num_conformers"]))
+        C = max(C, 1)
         ckw.setdefault("bucket3d", BucketSpec(bs * C, n_cap * C, e3_cap * C))
     elif contrastive or collate == "pairwise_distance_collate":
         ckw.setdefault("bucket3d", bucket3d)
@@ -547,6 +557,35 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
             mk(test_idx, False, args["seed"] + 2))
 
 
+def resolve_collate(args: Dict[str, Any]) -> None:
+    """Canonicalize the config's collate name and apply the routing rules
+    the reference encodes in its dataset return types:
+
+    * reference YAML collate aliases -> canonical registry names,
+    * `san_graph` in required_data keeps graph_collate upstream because the
+      dataset return type already carries the LapPE (qm9_dataset.py:
+      285-304); here the LapPE assembly lives in san_collate,
+    * OT configs batch raw pyg Data whose GeoMol featurization rides along
+      (pyg_graph_only_collate, configs/ot_geomol_gnn.yml); here the
+      neighborhood/dihedral index arrays are assembled by ot_collate,
+    * reference SMP extracts triplets on-device (spherical_encoding.py:
+      276-330); here triplet/angle featurization is host-side in
+      smp_collate (data/smp_featurize.py)."""
+    from infomax3d_tpu.data.loader import COLLATE_ALIASES
+    args["collate_function"] = COLLATE_ALIASES.get(
+        args["collate_function"], args["collate_function"])
+    if any(str(r) == "san_graph" for r in args["required_data"]) and \
+            args["collate_function"] == "graph_collate":
+        args["collate_function"] = "san_collate"
+    if args["trainer"] == "optimal_transport" and \
+            args["collate_function"] in ("graph_only_collate",
+                                         "graph_collate"):
+        args["collate_function"] = "ot_collate"
+    if args["model_type"] == "SMP" and \
+            args["collate_function"] == "graph_collate":
+        args["collate_function"] = "smp_collate"
+
+
 def run_training(args: Dict[str, Any]) -> Dict[str, float]:
     import jax
     enable_persistent_compilation_cache()
@@ -554,30 +593,7 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
     from infomax3d_tpu.losses import get_loss
     from infomax3d_tpu.train.trainer import TRAINER_REGISTRY
 
-    from infomax3d_tpu.data.loader import COLLATE_ALIASES
-    args["collate_function"] = COLLATE_ALIASES.get(
-        args["collate_function"], args["collate_function"])
-    if any(str(r) == "san_graph" for r in args["required_data"]) and \
-            args["collate_function"] == "graph_collate":
-        # reference SAN runs keep the default graph_collate because the
-        # dataset's san_graph return type already carries the LapPE
-        # (qm9_dataset.py:285-304); here the LapPE assembly lives in
-        # san_collate, so the required_data drives the collate choice
-        args["collate_function"] = "san_collate"
-    if args["trainer"] == "optimal_transport" and \
-            args["collate_function"] in ("graph_only_collate",
-                                         "graph_collate"):
-        # reference OT configs batch raw pyg Data objects whose GeoMol
-        # featurization rides along (pyg_graph_only_collate,
-        # configs/ot_geomol_gnn.yml); here the neighborhood/dihedral index
-        # arrays are assembled by ot_collate
-        args["collate_function"] = "ot_collate"
-    if args["model_type"] == "SMP" and \
-            args["collate_function"] == "graph_collate":
-        # reference SMP consumes raw pyg coords and extracts triplets
-        # on-device (spherical_encoding.py:276-330); here triplet/angle
-        # featurization is host-side in smp_collate (data/smp_featurize.py)
-        args["collate_function"] = "smp_collate"
+    resolve_collate(args)
     dataset = build_dataset(args)
     apply_dataset_protocol(args, dataset)
     metrics = build_metrics(args, dataset)

@@ -61,7 +61,14 @@ class CachedMoleculeDataset:
                 "valid": z["split_valid"].astype(np.int64),
                 "test": z["split_test"].astype(np.int64)}
         self.cache_dir = os.path.dirname(path)
-        self.num_conformers = num_conformers
+        # clamp to the stored conformer count (reference qmugs_dataset.py
+        # packs min(3, stored); asking for more than the cache holds serves
+        # what exists rather than indexing past it)
+        stored = (self.coordinates.shape[1]
+                  if self.coordinates is not None and
+                  self.coordinates.ndim == 3 else 1)
+        self.num_conformers = min(num_conformers, stored) \
+            if num_conformers > 1 else num_conformers
         # 'complete_graph_random_conformer' return type (reference
         # qmugs_dataset.py:187-193): each access serves the 3D complete
         # graph of one conformer sampled uniformly from the stored set

@@ -135,14 +135,23 @@ def contrastive_collate(items: Sequence[Dict], bucket: BucketSpec,
 
 @register_collate("conformer_collate")
 def conformer_collate(items: Sequence[Dict], bucket: BucketSpec,
-                      bucket3d: Optional[BucketSpec] = None):
+                      bucket3d: Optional[BucketSpec] = None,
+                      num_conformers: Optional[int] = None):
     """2D graphs + C conformer complete-graphs per molecule packed
-    molecule-major (custom_collate.py:155-157, qmugs_dataset.py:149-166)."""
+    molecule-major (custom_collate.py:155-157, qmugs_dataset.py:149-166).
+
+    num_conformers: optional cap from `collate_params` (configs/
+    contrastive_training_multiple_positives.yml names it on the collate)."""
     g2 = batch_graphs([it["graph2d"] for it in items], bucket)
     conf_graphs: List[Dict] = []
     for it in items:
-        conf_graphs.extend(it["conformers3d"])
+        confs = it["conformers3d"]
+        if num_conformers:
+            confs = confs[:num_conformers]
+        conf_graphs.extend(confs)
     n_conf = len(items[0]["conformers3d"])
+    if num_conformers:
+        n_conf = min(n_conf, num_conformers)
     b3 = bucket3d or BucketSpec(bucket.n_graphs * n_conf,
                                 bucket.n_nodes * n_conf,
                                 _complete_edge_cap(items) * n_conf)

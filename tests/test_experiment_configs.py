@@ -149,7 +149,7 @@ def test_config_builds(name, full_data_root, monkeypatch, tmp_path):
     from infomax3d_tpu.cli.train import (apply_dataset_protocol,
                                          build_dataset, build_metrics,
                                          build_models, make_splits,
-                                         resolve_fast_paths)
+                                         resolve_collate, resolve_fast_paths)
     args = load_config(os.path.join(CONFIG_DIR, name),
                        dict(logdir=str(tmp_path), num_train=16,
                             batch_size=8, num_conformers=min(
@@ -157,6 +157,7 @@ def test_config_builds(name, full_data_root, monkeypatch, tmp_path):
                                     CONFIG_DIR, name))).get(
                                         "num_conformers", 1) or 1),
                             pretrain_checkpoint=None))
+    resolve_collate(args)
     ds = build_dataset(args)
     apply_dataset_protocol(args, ds)
     ms = [m for m in args["metrics"]
@@ -169,6 +170,14 @@ def test_config_builds(name, full_data_root, monkeypatch, tmp_path):
     assert "model" in models
     if args.get("model3d_type"):
         assert "model3d" in models
+
+    # host data path: loaders build and yield one collated batch (catches
+    # bucket sizing / collate-contract mismatches for every config, not
+    # just the step-tested combos)
+    from infomax3d_tpu.cli.train import make_loaders
+    train_loader, _, _ = make_loaders(args, ds)
+    batch = next(iter(train_loader))
+    assert isinstance(batch, dict) and batch
 
 
 @pytest.fixture(scope="module")
