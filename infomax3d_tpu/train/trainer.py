@@ -513,6 +513,11 @@ class Trainer:
         """Full fit loop with early stopping — reference Trainer.train."""
         if self.state is None:
             first = next(iter(train_loader))
+            if self.mesh is not None and "data" in self.mesh.axis_names \
+                    and self.mesh.shape["data"] > 1:
+                # DP loaders stack one padded sub-batch per shard on a
+                # leading axis; parameters init from a single shard
+                first = jax.tree_util.tree_map(lambda a: a[0], first)
             self.init_state(first)
         patience = self.args.get("patience", 20)
         minimum_epochs = self.args.get("minimum_epochs", 0)

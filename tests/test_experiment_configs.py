@@ -314,6 +314,24 @@ def test_step_random_conformer_pretrain(env_data, tmp_path):
     assert np.isfinite(res["NTXent"])
 
 
+def test_step_dp_sharded_from_config(env_data, tmp_path):
+    """`n_shards: 2` through the YAML->run_training path builds the mesh and
+    trains on the virtual CPU devices (trainer-level DP equality lives in
+    test_parallel.py; this proves the CLI wiring)."""
+    args, res = _run("contrastive_training.yml", tmp_path,
+                     batch_size=16, num_train=48, n_shards=2)
+    assert np.isfinite(res["NTXent"])
+
+
+def test_step_edge_partitioned_from_config(env_data, tmp_path):
+    """`graph_shards: 2` (edge-partitioned graph parallelism) through the
+    same path — 2-axis (data, graph) mesh from the config."""
+    args, res = _run("contrastive_training.yml", tmp_path,
+                     batch_size=16, num_train=48, n_shards=2,
+                     graph_shards=2)
+    assert np.isfinite(res["NTXent"])
+
+
 def test_bucket_ladder_wiring(env_data, tmp_path):
     """`bucket_ladder: true` routes plain flat collates through per-batch
     bucket selection (graphs/batch.py::make_bucket_ladder) and still
