@@ -109,19 +109,29 @@ def merge_config(base: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[str, Any
 
 def load_config(config_path: Optional[str] = None,
                 overrides: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Reference get_arguments semantics (train.py:615-641), exactly:
+
+    1. defaults <- YAML config, list values APPENDED (the quirk),
+    2. checkpoint `train_arguments.yaml` for keys NOT set by the config
+       (lists appended there too, train.py:629-639),
+    3. programmatic/CLI overrides REPLACE (no append analog upstream —
+       appending here once turned a test's multithreaded_seeds=[1, 2] into
+       [1..6, 1, 2], whose duplicate seeds collided on a run dir)."""
     args = copy.deepcopy(DEFAULTS)
     config_dict: Dict[str, Any] = {}
     if config_path:
         with open(config_path) as f:
             config_dict = yaml.safe_load(f) or {}
-    # checkpoint re-hydration: saved args first, explicit config wins
+    args = merge_config(args, config_dict)
     ckpt = (overrides or {}).get("checkpoint") or config_dict.get("checkpoint")
     if ckpt:
         saved = os.path.join(os.path.dirname(ckpt), "train_arguments.yaml")
         if os.path.exists(saved):
             with open(saved) as f:
-                args = merge_config(args, yaml.safe_load(f) or {})
-    args = merge_config(args, config_dict)
-    args = merge_config(args, overrides or {})
+                saved_dict = yaml.safe_load(f) or {}
+            args = merge_config(args, {k: v for k, v in saved_dict.items()
+                                       if k not in config_dict})
+    for k, v in (overrides or {}).items():
+        args[k] = v
     args["config"] = config_path
     return args

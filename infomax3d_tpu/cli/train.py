@@ -643,6 +643,17 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
         args["logdir"],
         f"{args['model_type']}_{args['dataset']}_{args['experiment_name']}_"
         f"{args['seed']}_{datetime.now().strftime('%d-%m_%H-%M-%S')}")
+    # second-resolution names collide for same-seed runs launched together
+    # (the reference would share the dir and race its checkpoints); claim a
+    # unique dir atomically
+    base_run_dir, n_dup = run_dir, 1
+    while True:
+        try:
+            os.makedirs(run_dir)
+            break
+        except FileExistsError:
+            run_dir = f"{base_run_dir}_{n_dup}"
+            n_dup += 1
     kw: Dict[str, Any] = {}
     if args["trainer"] == "philosophy":
         kw["critic_loss"] = get_loss(args["critic_loss"],

@@ -22,15 +22,26 @@ from flax import serialization
 def save_checkpoint(path: str, state, host_state: Dict[str, Any]) -> None:
     state = jax.device_get(state)
     blob = serialization.to_bytes(state)
-    with open(path, "wb") as f:
+    # atomic replace: a reader (end-of-train best reload, a resuming run, or
+    # a multi-seed sibling thread) must never observe a partially written
+    # file — os.replace is atomic on POSIX
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
-    with open(path + ".json", "w") as f:
+    os.replace(tmp, path)
+    with open(path + ".json.tmp", "w") as f:
         json.dump(_jsonable(host_state), f, indent=2)
+    os.replace(path + ".json.tmp", path + ".json")
 
 
 def load_checkpoint(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
     with open(path, "rb") as f:
-        state = serialization.from_bytes(state_template, f.read())
+        data = f.read()
+    try:
+        state = serialization.from_bytes(state_template, data)
+    except Exception as e:
+        raise ValueError(f"checkpoint {path} unreadable "
+                         f"({len(data)} bytes): {e}") from e
     host_state = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:

@@ -48,3 +48,17 @@ def test_multiseed(tmp_path):
     assert os.path.exists(
         os.path.join(str(tmp_path / "ms"),
                      "multiple_seed_validation_statistics.txt"))
+
+
+def test_config_merge_semantics(tmp_path):
+    """Reference get_arguments semantics (train.py:615-641): YAML lists
+    APPEND onto defaults (the quirk), programmatic overrides REPLACE.
+    Appending overrides once turned multithreaded_seeds=[1, 2] into
+    [1..6, 1, 2] whose duplicate seeds raced on one run dir."""
+    from infomax3d_tpu.cli.config import load_config
+
+    args = load_config("configs_clean/tune_freesolv.yml")
+    assert args["multithreaded_seeds"] == [1, 2, 3, 4, 5, 6]
+    args = load_config("configs_clean/tune_freesolv.yml",
+                       dict(multithreaded_seeds=[1, 2]))
+    assert args["multithreaded_seeds"] == [1, 2]
