@@ -379,11 +379,13 @@ def transfer_pretrained(state, args: Dict[str, Any]):
     if "student" in src:                       # BYOL wrapper checkpoint
         src = src["student"]
     flat_src = flatten_dict(src)
-    # reference renames 'gnn.'/'gnn2.' -> 'node_gnn.'; our modules already use
-    # node_gnn, so rename only legacy keys if present
+    # reference renames '^gnn.'/'^gnn2.' -> 'node_gnn.' (train.py:220 —
+    # ANCHORED at the root: a nested 'gnn' submodule like the Geomol
+    # backbone's keeps its name)
     renamed = {}
     for path, v in flat_src.items():
-        path = tuple("node_gnn" if p in ("gnn", "gnn2") else p for p in path)
+        if path and path[0] in ("gnn", "gnn2"):
+            path = ("node_gnn",) + path[1:]
         renamed[path] = v
     # reference tokens are substrings of torch's dot-joined names
     # (configs/tune_from_ot_geomol_gnn.yml: 'gnn.'); our paths join with '/'
@@ -411,7 +413,8 @@ def transfer_pretrained(state, args: Dict[str, Any]):
     src_stats = raw.get("batch_stats", {}).get(src_key, {})
     if "student" in src_stats:
         src_stats = src_stats["student"]
-    flat_sstats = {tuple("node_gnn" if p in ("gnn", "gnn2") else p for p in k): v
+    flat_sstats = {(("node_gnn",) + k[1:] if k and k[0] in ("gnn", "gnn2")
+                    else k): v
                    for k, v in flatten_dict(src_stats).items()}
     bstats = dict(state.batch_stats)
     flat_bdst = flatten_dict(bstats["model"])
@@ -487,18 +490,38 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
     ckw = dict(args.get("collate_params") or {})
     if collate == "smp_collate":
         # the radius graph (cutoff 5 Å, reference
-        # spherical_message_passing.py:271) is bounded by the complete
-        # graph, far denser than the bond graph the default bucket sizes
-        # for; triplet count per edge is bounded by max in-degree
-        bucket = BucketSpec(bs, n_cap, e3_cap, nmax=max_n)
-        ckw.setdefault("n_triplets", int(e3_cap) * max(8, max_n))
+        # spherical_message_passing.py:271) is denser than the bond graph
+        # but usually far sparser than the complete graph — measure a
+        # sample's edge/triplet counts and size with 2x headroom instead of
+        # the O(n^3) worst case (a tail batch that still overflows raises
+        # 'triplet bucket too small': set collate_params.n_triplets)
+        from infomax3d_tpu.data.smp_featurize import smp_featurize
+        cutoff = float(ckw.get("cutoff", 5.0))
+        sample = np.linspace(0, len(dataset) - 1,
+                             num=min(32, len(dataset))).astype(int)
+        se, st = [], []
+        for i in sample:
+            it = dataset[int(i)]
+            mol = it["graph2d"] if "coords" in it["graph2d"] else it["graph3d"]
+            f = smp_featurize(mol["coords"], cutoff=cutoff)
+            se.append(len(f["senders"]))
+            st.append(int(f["tri_count"]))
+        e_smp = _cap(np.asarray(se, np.float64), 512, slack=2.0)
+        bucket = BucketSpec(bs, n_cap, min(e_smp, e3_cap), nmax=max_n)
+        ckw.setdefault("n_triplets",
+                       int(_cap(np.asarray(st, np.float64), 2048, slack=2.0)))
     contrastive = collate in ("contrastive_collate", "conformer_collate",
                               "contrastive_collate_ae")
     if collate == "conformer_collate":
-        # the served conformer count (dataset clamps to what the cache
-        # stores; collate_params.num_conformers may have raised it)
-        C = int(getattr(dataset, "num_conformers", args["num_conformers"]))
-        C = max(C, 1)
+        # ONE effective conformer count for the packing AND the bucket: the
+        # served count (dataset clamps to what the cache stores) further
+        # capped by collate_params.num_conformers — a mismatch would break
+        # the molecule-major [B*C] packing the multi-positive losses reshape
+        C = max(int(getattr(dataset, "num_conformers",
+                            args["num_conformers"])), 1)
+        if ckw.get("num_conformers"):
+            C = min(C, int(ckw["num_conformers"]))
+        ckw["num_conformers"] = C
         ckw.setdefault("bucket3d", BucketSpec(bs * C, n_cap * C, e3_cap * C))
     elif contrastive or collate == "pairwise_distance_collate":
         ckw.setdefault("bucket3d", bucket3d)
@@ -529,7 +552,8 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
             collate in ("graph_collate", "graph_only_collate") and \
             n_shards == 1:
         from infomax3d_tpu.graphs.batch import make_bucket_ladder
-        ladder = make_bucket_ladder(bs, nodes, dataset.edge_counts())
+        ladder = make_bucket_ladder(bs, nodes, dataset.edge_counts(),
+                                    nmax=max_n)
         bucket = None
 
     def mk(indices, shuffle, seed, batch_sampler=None):
@@ -670,7 +694,7 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
 
     train_loader, val_loader, test_loader = make_loaders(args, dataset, mesh)
     if args.get("pretrain_checkpoint"):
-        first = next(iter(train_loader))
+        first = trainer.single_shard(next(iter(train_loader)))
         trainer.init_state(first)
         trainer.state = transfer_pretrained(trainer.state, args)
 

@@ -352,12 +352,13 @@ def pairwise_distance_collate(items: Sequence[Dict], bucket: BucketSpec,
     b3 = bucket3d or BucketSpec(bucket.n_graphs, bucket.n_nodes,
                                 _complete_edge_cap(items))
     b3 = BucketSpec(b3.n_graphs, bucket.n_nodes, b3.n_edges)
-    pairs = batch_graphs([it["graph3d"] for it in items], b3)
+    pairs = to_graph_batch(batch_graphs([it["graph3d"] for it in items], b3))
     if graph_3d:
-        g = pairs
-    else:
-        g = batch_graphs([it["graph2d"] for it in items], bucket)
-    return {"graph": to_graph_batch(g), "pairs": to_graph_batch(pairs)}
+        # the pair view IS the model input — share one GraphBatch (one
+        # host->device transfer of the complete-graph arrays)
+        return {"graph": pairs, "pairs": pairs}
+    g = batch_graphs([it["graph2d"] for it in items], bucket)
+    return {"graph": to_graph_batch(g), "pairs": pairs}
 
 
 @register_collate("ot_collate")
@@ -626,22 +627,44 @@ class GraphDataLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         SENTINEL = object()
         err: list = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    if not _put(b):
+                        return       # consumer gone (e.g. next(iter(...)))
             except BaseException as e:   # re-raised on the consuming thread
                 err.append(e)
             finally:
-                q.put(SENTINEL)
+                _put(SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is SENTINEL:
-                if err:
-                    raise err[0]
-                break
-            yield b
+        try:
+            while True:
+                b = q.get()
+                if b is SENTINEL:
+                    if err:
+                        raise err[0]
+                    break
+                yield b
+        finally:
+            # unblock and retire the worker if the consumer abandoned the
+            # iterator early — otherwise it would pin `prefetch` collated
+            # batches for the process lifetime
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass

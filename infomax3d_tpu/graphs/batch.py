@@ -323,6 +323,7 @@ def make_bucket_ladder(
     node_align: int = 128,
     edge_align: int = 512,
     headroom: float = 1.08,
+    nmax: int = 0,
 ) -> List[BucketSpec]:
     """Derive a small ladder of static shapes from dataset histograms.
 
@@ -340,7 +341,8 @@ def make_bucket_ladder(
         e_cap = float(np.quantile(edge_counts, q)) * batch_size * headroom
         n_cap = int(math.ceil(n_cap / node_align) * node_align)
         e_cap = int(math.ceil(e_cap / edge_align) * edge_align)
-        ladder.append(BucketSpec(n_graphs=batch_size, n_nodes=n_cap, n_edges=e_cap))
+        ladder.append(BucketSpec(n_graphs=batch_size, n_nodes=n_cap,
+                                 n_edges=e_cap, nmax=nmax))
     # dedupe while keeping order
     seen, uniq = set(), []
     for b in ladder:

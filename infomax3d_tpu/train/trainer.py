@@ -125,6 +125,15 @@ class Trainer:
         self.best_val_score = -math.inf if main_metric_goal == "max" else math.inf
 
     # ------------------------------------------------------------------ init
+    def single_shard(self, batch):
+        """DP loaders stack one padded sub-batch per shard on a leading
+        axis; parameters init from a single shard.  Only for loader-fed
+        batches — init_state itself takes an unstacked example."""
+        if self.mesh is not None and "data" in self.mesh.axis_names \
+                and self.mesh.shape["data"] > 1:
+            return jax.tree_util.tree_map(lambda a: a[0], batch)
+        return batch
+
     def init_state(self, example_batch) -> TrainState:
         params, batch_stats = {}, {}
         for key in self.MODEL_KEYS:
@@ -512,13 +521,7 @@ class Trainer:
     def train(self, train_loader, val_loader) -> Dict[str, float]:
         """Full fit loop with early stopping — reference Trainer.train."""
         if self.state is None:
-            first = next(iter(train_loader))
-            if self.mesh is not None and "data" in self.mesh.axis_names \
-                    and self.mesh.shape["data"] > 1:
-                # DP loaders stack one padded sub-batch per shard on a
-                # leading axis; parameters init from a single shard
-                first = jax.tree_util.tree_map(lambda a: a[0], first)
-            self.init_state(first)
+            self.init_state(self.single_shard(next(iter(train_loader))))
         patience = self.args.get("patience", 20)
         minimum_epochs = self.args.get("minimum_epochs", 0)
         num_epochs = self.args.get("num_epochs", 10)

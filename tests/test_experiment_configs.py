@@ -392,12 +392,16 @@ def test_step_tune_from_ot_transfer(env_data, tmp_path, capsys):
                      batch_size=16, pretrain_checkpoint=ckpts[0])
     assert args["transfer_layers"] == ["gnn."]
     assert any(k.startswith("ogbg-molesol") for k in res)
-    # the dotted 'gnn.' token actually landed weights (0 hits would mean
-    # the substring matching silently failed)
+    # the dotted 'gnn.' token actually landed weights — and not just the
+    # atom/bond encoder tables: the GeomolGNN message-passing stack under
+    # the NESTED 'gnn' submodule must land too (the root-anchored rename
+    # must not touch inner 'gnn' path elements).  12 encoder tables +
+    # node/edge inits (3 Dense x 2 each) + edge model (3 lin + mlp) +
+    # node model (2 mlps) + epsilons > 30 tensors.
     import re
     m = re.search(r"transferred (\d+) parameter tensors",
                   capsys.readouterr().out)
-    assert m and int(m.group(1)) > 0
+    assert m and int(m.group(1)) >= 30, (m and m.group(0))
 
 
 def test_step_net3d_distance_predictor(env_data, tmp_path):
