@@ -314,6 +314,35 @@ def test_step_random_conformer_pretrain(env_data, tmp_path):
     assert np.isfinite(res["NTXent"])
 
 
+def test_conformer_collate_cap_consistency(env_data, tmp_path):
+    """collate_params.num_conformers caps BOTH the packing and the bucket:
+    the molecule-major [B*C] layout the multiple-positive losses reshape
+    must tile exactly (a served-vs-packed mismatch would silently assign
+    conformers to the wrong molecules)."""
+    from infomax3d_tpu.cli.train import (build_dataset, make_loaders,
+                                         resolve_collate, resolve_fast_paths)
+    args = load_config(None, dict(
+        dataset="drugs", batch_size=4, num_train=12, num_epochs=1,
+        num_conformers=5, collate_function="ConformerCollate",
+        collate_params={"num_conformers": 2},
+        required_data=["dgl_graph", "conformations"],
+        model_type="PNA", loss_func="NTXentMultiplePositives",
+        logdir=str(tmp_path)))
+    resolve_collate(args)
+    ds = build_dataset(args)
+    assert ds.num_conformers == 5          # served (cache stores 5)
+    resolve_fast_paths(args)
+    tr, _, _ = make_loaders(args, ds)
+    b = next(iter(tr))
+    g2, g3 = b["graph2d"], b["graph3d"]
+    # bucket sized for the EFFECTIVE count (2): C = G3 / G2
+    assert g3.graph_mask.shape[0] == 2 * g2.graph_mask.shape[0]
+    # packing is molecule-major: graph slots 0,1 belong to molecule 0 —
+    # real graphs fill the first 2*n_real slots contiguously
+    n_real = int(np.asarray(g2.graph_mask).sum())
+    assert int(np.asarray(g3.graph_mask).sum()) == 2 * n_real
+
+
 def test_step_dp_sharded_from_config(env_data, tmp_path):
     """`n_shards: 2` through the YAML->run_training path builds the mesh and
     trains on the virtual CPU devices (trainer-level DP equality lives in
