@@ -1,0 +1,129 @@
+"""Golden parity for the GeoMol geometry kernels (ops/geomol_geometry.py)
+vs the ACTUAL reference torch code (commons/geomol_utils.py) — these shape
+every term of the OT conformer loss (local stats, dihedrals, von Mises,
+signed volume).
+
+torch_geometric / networkx are stubbed (geomol_utils only touches them in
+graph-construction helpers this test does not call)."""
+import sys
+import types
+
+import numpy as np
+import torch
+
+for name in ("networkx",):
+    if name not in sys.modules:
+        sys.modules[name] = types.ModuleType(name)
+if "torch_geometric" not in sys.modules:
+    tg = types.ModuleType("torch_geometric")
+    tg_utils = types.ModuleType("torch_geometric.utils")
+    tg_utils.degree = lambda idx, num_nodes=None: torch.bincount(
+        idx, minlength=num_nodes or 0).float()
+    tg.utils = tg_utils
+    sys.modules["torch_geometric"] = tg
+    sys.modules["torch_geometric.utils"] = tg_utils
+elif not hasattr(sys.modules["torch_geometric"], "utils"):
+    tg_utils = types.ModuleType("torch_geometric.utils")
+    tg_utils.degree = lambda idx, num_nodes=None: torch.bincount(
+        idx, minlength=num_nodes or 0).float()
+    sys.modules["torch_geometric"].utils = tg_utils
+    sys.modules["torch_geometric.utils"] = tg_utils
+
+for pkg, path in (("commons", "/root/reference/commons"),):
+    if pkg not in sys.modules or not hasattr(sys.modules[pkg], "__path__"):
+        mod = types.ModuleType(pkg)
+        mod.__path__ = [path]
+        sys.modules[pkg] = mod
+
+sys.path.insert(0, "/root/reference")
+from commons import geomol_utils as ref  # noqa: E402
+
+sys.path.pop(0)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from infomax3d_tpu.ops import geomol_geometry as mine  # noqa: E402
+
+
+def _coords(rng, *shape):
+    return rng.normal(size=shape).astype(np.float32)
+
+
+def test_batch_dihedrals_golden():
+    rng = np.random.default_rng(0)
+    p = [_coords(rng, 7, 5, 3) for _ in range(4)]
+    sin_r, cos_r = ref.batch_dihedrals(*[torch.from_numpy(x) for x in p])
+    sin_m, cos_m = mine.batch_dihedrals(*[jnp.asarray(x) for x in p])
+    np.testing.assert_allclose(np.asarray(sin_m), sin_r.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cos_m), cos_r.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    ang_r = ref.batch_dihedrals(*[torch.from_numpy(x) for x in p], angle=True)
+    ang_m = mine.batch_dihedrals(*[jnp.asarray(x) for x in p], angle=True)
+    np.testing.assert_allclose(np.asarray(ang_m), ang_r.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_von_mises_loss_golden():
+    rng = np.random.default_rng(1)
+    a, b = _coords(rng, 9, 4), _coords(rng, 9, 4)
+    a_sin, b_sin = _coords(rng, 9, 4), _coords(rng, 9, 4)
+    r = ref.von_Mises_loss(torch.from_numpy(a), torch.from_numpy(b),
+                           torch.from_numpy(a_sin), torch.from_numpy(b_sin))
+    m = mine.von_mises_loss(jnp.asarray(a), jnp.asarray(b),
+                            jnp.asarray(a_sin), jnp.asarray(b_sin))
+    np.testing.assert_allclose(np.asarray(m), r.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_signed_volume_golden():
+    rng = np.random.default_rng(2)
+    local = _coords(rng, 6, 4, 5, 3)       # [pairs, 4 nbrs, confs, 3]
+    r = ref.signed_volume(torch.from_numpy(local))
+    m = mine.signed_volume(jnp.asarray(local))
+    np.testing.assert_allclose(np.asarray(m), r.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_batch_local_stats_golden():
+    rng = np.random.default_rng(3)
+    coords = _coords(rng, 8, 4, 5, 3)      # [centers, max_nbrs, confs, 3]
+    mask = (rng.random((8, 4)) < 0.8).astype(np.float32)
+    mask[:, 0] = 1.0
+    d_r, d2_r, ang_r = ref.batch_local_stats_from_coords(
+        torch.from_numpy(coords), torch.from_numpy(mask))
+    d_m, d2_m, ang_m = mine.batch_local_stats_from_coords(
+        jnp.asarray(coords), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(d_m), d_r.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2_m), d2_r.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ang_m), ang_r.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rotation_matrix_v2_frame_properties():
+    """rotation_matrix_v2 draws a random azimuthal auxiliary vector (the
+    reference uses torch.rand_like; ours an explicit key), so exact parity
+    is undefined — instead both must produce a right-handed orthonormal
+    frame whose FIRST row is p_Y normalized (that row is deterministic and
+    must match the reference's)."""
+    rng = np.random.default_rng(4)
+    nbr = _coords(rng, 6, 4, 5, 3)
+    nmap = np.zeros((6, 4), np.float32)
+    nmap[:, 1] = 1.0
+    H_r = ref.rotation_matrix_v2(torch.from_numpy(nbr),
+                                 torch.from_numpy(np.ones((6, 4), np.float32)),
+                                 torch.from_numpy(nmap)).numpy()
+    H_m = np.asarray(mine.rotation_matrix_v2(jnp.asarray(nbr),
+                                             jnp.asarray(nmap),
+                                             jax.random.key(0)))
+    assert H_m.shape == H_r.shape
+    # first row: p_Y / |p_Y| — deterministic, must agree
+    np.testing.assert_allclose(H_m[..., 0, :], H_r[..., 0, :],
+                               rtol=1e-4, atol=1e-5)
+    for H in (H_m,):
+        eye = np.einsum("...ij,...kj->...ik", H, H)
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                                   atol=1e-4)
+        det = np.linalg.det(H)
+        np.testing.assert_allclose(det, np.ones_like(det), atol=1e-4)
