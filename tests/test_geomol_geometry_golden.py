@@ -127,3 +127,29 @@ def test_rotation_matrix_v2_frame_properties():
                                    atol=1e-4)
         det = np.linalg.det(H)
         np.testing.assert_allclose(det, np.ones_like(det), atol=1e-4)
+
+
+def test_fourier_encode_dist_golden():
+    """ops/encodings.py::fourier_encode_dist vs the reference
+    commons/utils.py:103-110 (sin/cos over power-of-two scales + self)."""
+    import collections
+    import collections.abc
+    collections.MutableMapping = collections.abc.MutableMapping
+    # commons/utils.py imports dgl + tensorboard at module level; reuse the
+    # dgl stub installed by test_layer_golden and stub the writer
+    import test_layer_golden  # noqa: F401  (installs dgl/ogb stubs)
+    if "torch.utils.tensorboard" not in sys.modules:
+        tb = types.ModuleType("torch.utils.tensorboard")
+        tb.SummaryWriter = object
+        sys.modules["torch.utils.tensorboard"] = tb
+    sys.path.insert(0, "/root/reference")
+    from commons.utils import fourier_encode_dist as ref_fourier
+    sys.path.pop(0)
+    from infomax3d_tpu.ops.encodings import fourier_encode_dist
+
+    rng = np.random.default_rng(5)
+    d = (rng.random(23) * 8).astype(np.float32)
+    for k in (1, 4, 7):
+        r = ref_fourier(torch.from_numpy(d), num_encodings=k).numpy()
+        m = np.asarray(fourier_encode_dist(jnp.asarray(d), num_encodings=k))
+        np.testing.assert_allclose(m, r, rtol=1e-5, atol=1e-6)
