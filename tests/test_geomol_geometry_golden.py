@@ -153,3 +153,60 @@ def test_fourier_encode_dist_golden():
         r = ref_fourier(torch.from_numpy(d), num_encodings=k).numpy()
         m = np.asarray(fourier_encode_dist(jnp.asarray(d), num_encodings=k))
         np.testing.assert_allclose(m, r, rtol=1e-5, atol=1e-6)
+
+
+def test_laplacian_pe_golden():
+    """data/featurize.py::laplacian_pe vs the reference's exact torch math
+    (qm9_dataset.py:403-419) — including the `N * L * N` broadcasting quirk
+    (1-D N broadcasts as a ROW both times, scaling columns by N_j^2 rather
+    than the symmetric N_i L_ij N_j).  Eigenvectors compared up to the
+    per-column sign eigh leaves free."""
+    import torch.nn.functional as F
+
+    from infomax3d_tpu.data.featurize import laplacian_pe
+
+    rng = np.random.default_rng(6)
+    n = 9
+    src = np.arange(1, n)
+    dst = rng.integers(0, np.maximum(np.arange(1, n), 1))
+    senders = np.concatenate([src, dst]).astype(np.int32)
+    receivers = np.concatenate([dst, src]).astype(np.int32)
+
+    adj = torch.zeros((n, n))
+    adj[senders, receivers] = 1.0
+    max_freqs = 10
+    D = torch.diag(adj.sum(dim=0))
+    L = D - adj
+    N = adj.sum(dim=0) ** -0.5
+    L_sym = torch.eye(n) - N * L * N
+    eig_vals, eig_vecs = torch.linalg.eigh(L_sym)
+    idx = eig_vals.argsort()[0:max_freqs]
+    eig_vals, eig_vecs = eig_vals[idx], eig_vecs[:, idx]
+    eig_vecs = eig_vecs[:, eig_vals.argsort()]
+    eig_vecs = F.normalize(eig_vecs, p=2, dim=1, eps=1e-12)
+    eig_vecs = F.pad(eig_vecs, (0, max_freqs - n), value=float("nan"))
+    eig_vals = F.pad(eig_vals, (0, max_freqs - n), value=float("nan"))
+
+    vals_m, vecs_m = laplacian_pe(senders, receivers, n, max_freqs)
+    np.testing.assert_allclose(vals_m[:n], eig_vals.numpy()[:n],
+                               rtol=1e-4, atol=1e-5)
+    assert np.isnan(vals_m[n:]).all() and np.isnan(vecs_m[:, n:]).all()
+    ref_v, my_v = eig_vecs.numpy()[:, :n], vecs_m[:, :n]
+    # eigh leaves the basis free within (near-)degenerate eigenspaces —
+    # compare the spectral PROJECTORS per eigenvalue cluster instead of
+    # raw columns (also covers the per-column sign freedom).  Note the
+    # reference L2-normalizes vectors along dim=1 (per NODE, across
+    # frequencies), so within a cluster the projector uses the raw eigh
+    # vectors before that normalization; cluster on eigenvalues and
+    # re-orthonormalize each cluster's columns first.
+    def projectors(vals, vecs):
+        out, start = [], 0
+        for i in range(1, len(vals) + 1):
+            if i == len(vals) or vals[i] - vals[start] > 1e-5:
+                q, _ = np.linalg.qr(vecs[:, start:i])
+                out.append(q @ q.T)
+                start = i
+        return out
+    for pm, pr in zip(projectors(vals_m[:n], my_v),
+                      projectors(eig_vals.numpy()[:n], ref_v)):
+        np.testing.assert_allclose(pm, pr, atol=1e-4)
