@@ -199,9 +199,11 @@ class Net3DDenseLayer(nn.Module):
     @nn.compact
     def __call__(self, h, e, emask, node_mask, deg, deterministic=True):
         G, n, D = h.shape
-        src = jnp.broadcast_to(h[:, :, None, :], (G, n, n, D))
-        dst = jnp.broadcast_to(h[:, None, :, :], (G, n, n, D))
-        z = jnp.concatenate([src, dst, e], axis=-1)
+        # concat-free SplitDense parts (same trick as the flat Net3DLayer):
+        # the src/dst blocks of the first Dense are computed in NODE space
+        # [G, n, D] and broadcast into the edge grid by the add — the
+        # [G, n, n, 3D] concat (and its 128-lane padding) never exists
+        z = [h[:, :, None, :], h[:, None, :, :], e]
         message = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
                       layers=self.message_net_layers,
                       mid_activation=self.mid_activation,
