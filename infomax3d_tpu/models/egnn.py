@@ -35,10 +35,13 @@ class EGCLayer(nn.Module):
         xs = jnp.take(g.coords, g.senders.clip(0, N - 1), axis=0)
         xd = jnp.take(g.coords, g.receivers.clip(0, N - 1), axis=0)
         sq = jnp.sum((xs - xd) ** 2, axis=-1, keepdims=True)
-        from infomax3d_tpu.ops.mailbox import edge_aggregate, gather_dst, gather_src
-        src = gather_src(g, h)
-        dst = gather_dst(g, h)
-        z = jnp.concatenate([src, dst, sq], axis=-1)
+        from infomax3d_tpu.ops.mailbox import (
+            edge_aggregate, gather_dst, gather_src, has_csr, has_mailbox)
+        if has_csr(g) or not has_mailbox(g):
+            # SplitDense lazy parts: node-space projection, no concat
+            z = [(h, g.senders), (h, g.receivers), sq]
+        else:
+            z = [gather_src(g, h), gather_dst(g, h), sq]
         msg = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim, layers=2,
                   mid_activation=self.mid_activation,
                   last_activation=self.mid_activation,

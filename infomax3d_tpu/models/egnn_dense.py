@@ -32,10 +32,12 @@ class DenseEGCL(nn.Module):
         act = jax.nn.silu if self.act == "silu" else jax.nn.relu
         diff = x[:, :, None, :] - x[:, None, :, :]             # [G, n, n, 3]
         radial = jnp.sum(diff ** 2, axis=-1, keepdims=True)    # [G, n, n, 1]
-        hi = jnp.broadcast_to(h[:, :, None, :], (G, n, n, D))
-        hj = jnp.broadcast_to(h[:, None, :, :], (G, n, n, D))
-        eij = jnp.concatenate([hi, hj, radial], axis=-1)
-        m = act(nn.Dense(self.hidden_dim, name="edge_mlp_1")(eij))
+        # concat-free: the h_i/h_j blocks of edge_mlp_1 are computed in node
+        # space and broadcast into the [G, n, n] grid by the add (SplitDense
+        # has nn.Dense's parameter tree, so checkpoints are unchanged)
+        from infomax3d_tpu.models.base import SplitDense
+        eij = [h[:, :, None, :], h[:, None, :, :], radial]
+        m = act(SplitDense(self.hidden_dim, name="edge_mlp_1")(eij))
         m = act(nn.Dense(self.hidden_dim, name="edge_mlp_2")(m))
         if self.attention:
             att = jax.nn.sigmoid(nn.Dense(1, name="att_mlp")(m))
@@ -48,8 +50,7 @@ class DenseEGCL(nn.Module):
         trans = jnp.where(pair_mask[..., None], trans, 0.0)
         x = x + trans.sum(axis=2) * self.coords_weight
         # node update
-        z = jnp.concatenate([h, agg], axis=-1)
-        out = act(nn.Dense(self.hidden_dim, name="node_mlp_1")(z))
+        out = act(SplitDense(self.hidden_dim, name="node_mlp_1")([h, agg]))
         out = nn.Dense(self.hidden_dim, name="node_mlp_2")(out)
         if self.residual:
             out = h + out

@@ -177,7 +177,7 @@ class PNATransformer(nn.Module):
             h = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,
                     layers=1, mid_activation=self.activation,
                     name=f"combine_{i}")(
-                jnp.concatenate([h_sparse, h_dense], axis=-1),
+                [h_sparse, h_dense],        # concat-free SplitDense parts
                 mask=g.node_mask, deterministic=deterministic)
         readout = batch_readout(g, h,
                                 self.readout_aggregators, sizes=g.n_nodes)
