@@ -114,15 +114,17 @@ class Net3DAE(nn.Module):
 
         pg = pairs if pairs is not None else g
         emask = pg.edge_mask
-        src = jnp.take(h, pg.senders.clip(0, N - 1), axis=0)
-        dst = jnp.take(h, pg.receivers.clip(0, N - 1), axis=0)
+        s_idx = pg.senders.clip(0, N - 1)
+        d_idx = pg.receivers.clip(0, N - 1)
         if self.distance_net:
             dn = MLP(out_dim=1, hidden_size=self.projection_dim,
                      mid_batch_norm=True, layers=self.projection_layers,
                      name="distance_net")
-            fwd = dn(jnp.concatenate([src, dst], axis=1), mask=emask,
+            # concat-free lazy parts: both kernel halves project h in NODE
+            # space, then gather per (complete-graph) pair
+            fwd = dn([(h, s_idx), (h, d_idx)], mask=emask,
                      deterministic=deterministic)
-            bwd = dn(jnp.concatenate([dst, src], axis=1), mask=emask,
+            bwd = dn([(h, d_idx), (h, s_idx)], mask=emask,
                      deterministic=deterministic)
             distances = jax.nn.softplus(fwd + bwd)[:, 0]
         else:
@@ -131,8 +133,8 @@ class Net3DAE(nn.Module):
                         mid_batch_norm=True, layers=self.projection_layers,
                         name="node_projection_net")(h, mask=g.node_mask,
                                                     deterministic=deterministic)
-                src = jnp.take(h, pg.senders.clip(0, N - 1), axis=0)
-                dst = jnp.take(h, pg.receivers.clip(0, N - 1), axis=0)
+            src = jnp.take(h, s_idx, axis=0)
+            dst = jnp.take(h, d_idx, axis=0)
             distances = jnp.linalg.norm(src - dst, axis=-1)
         return latent, distances
 

@@ -238,17 +238,21 @@ class DistancePredictor(nn.Module):
                     name="node_projection_net")(h, mask=g.node_mask,
                                                 deterministic=deterministic)
         N = h.shape[0]
-        src = jnp.take(h, pair_graph.senders.clip(0, N - 1), axis=0)
-        dst = jnp.take(h, pair_graph.receivers.clip(0, N - 1), axis=0)
+        s_idx = pair_graph.senders.clip(0, N - 1)
+        d_idx = pair_graph.receivers.clip(0, N - 1)
         if self.distance_net:
             dn = MLP(out_dim=self.target_dim, hidden_size=self.projection_dim,
                      mid_batch_norm=True, layers=self.projection_layers,
                      name="distance_net")
-            fwd = dn(jnp.concatenate([src, dst], axis=1),
+            # concat-free lazy parts: both kernel halves project h in NODE
+            # space, then gather per pair (the pair set is O(n^2))
+            fwd = dn([(h, s_idx), (h, d_idx)],
                      mask=pair_graph.edge_mask, deterministic=deterministic)
-            bwd = dn(jnp.concatenate([dst, src], axis=1),
+            bwd = dn([(h, d_idx), (h, s_idx)],
                      mask=pair_graph.edge_mask, deterministic=deterministic)
             return jax.nn.softplus(fwd + bwd)
+        src = jnp.take(h, s_idx, axis=0)
+        dst = jnp.take(h, d_idx, axis=0)
         return jnp.linalg.norm(src - dst, axis=-1)[:, None]
 
 
