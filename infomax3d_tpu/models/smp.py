@@ -67,11 +67,15 @@ class SMPInit(nn.Module):
             emb = self.param("node_embedding", nn.initializers.normal(1.0),
                              (self.hidden,))
             x = jnp.broadcast_to(emb[None, :], (N, self.hidden))
+        from infomax3d_tpu.models.base import SplitDense
         rbf0 = jax.nn.swish(_dense(self.hidden, name="lin_rbf_0")(rbf))
-        xi = jnp.take(x, g.receivers.clip(0, N - 1), axis=0)
-        xj = jnp.take(x, g.senders.clip(0, N - 1), axis=0)
-        e1 = jax.nn.swish(_dense(self.hidden, name="lin")(
-            jnp.concatenate([xi, xj, rbf0], axis=-1)))
+        # concat-free: the x_i/x_j kernel blocks project in node space and
+        # gather per radius edge (same parameter tree as the fused Dense)
+        e1 = jax.nn.swish(SplitDense(
+            self.hidden, kernel_init=glorot_orthogonal(2.0),
+            bias_init=nn.initializers.zeros,
+            name="lin")([(x, g.receivers.clip(0, N - 1)),
+                         (x, g.senders.clip(0, N - 1)), rbf0]))
         e2 = _dense(self.hidden, bias=False, name="lin_rbf_1")(rbf) * e1
         return e1, e2
 

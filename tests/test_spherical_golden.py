@@ -11,15 +11,26 @@ import pytest
 
 np.math = math  # the reference uses np.math.factorial (removed in numpy>=1.25)
 
-# import reference module with torch-only deps stubbed
+sys.path.insert(0, "/root/reference")
+import torch  # noqa: E402
+
+
+def _scatter_add(src, index, dim=0, dim_size=None):
+    assert dim == 0
+    out = torch.zeros((dim_size,) + src.shape[1:], dtype=src.dtype)
+    return out.index_add_(0, index, src)
+
+
+# import reference module with torch-only deps stubbed — the stubs must be
+# FUNCTIONAL (test_layer_golden_ext's SMP golden calls scatter through the
+# same sys.modules entry, whichever test file imports first)
 for mod in ("torch_scatter", "torch_sparse"):
     if mod not in sys.modules:
         stub = types.ModuleType(mod)
-        stub.scatter = None
-        stub.SparseTensor = None
+        stub.scatter = _scatter_add
+        stub.scatter_sum = _scatter_add
+        stub.SparseTensor = type("SparseTensor", (), {})
         sys.modules[mod] = stub
-sys.path.insert(0, "/root/reference")
-import torch  # noqa: E402
 from commons import spherical_encoding as ref  # noqa: E402
 
 sys.path.pop(0)
