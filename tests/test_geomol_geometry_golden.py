@@ -11,18 +11,16 @@ import types
 import numpy as np
 import torch
 
+# install the canonical reference-import stubs (dgl/ogb via
+# test_layer_golden, torch_geometric/torch_scatter/torch_sparse via
+# test_layer_golden_ext) so test-file import order cannot leave a
+# partially-populated stub for the other golden files
+import test_layer_golden_ext  # noqa: F401
+
 for name in ("networkx",):
     if name not in sys.modules:
         sys.modules[name] = types.ModuleType(name)
-if "torch_geometric" not in sys.modules:
-    tg = types.ModuleType("torch_geometric")
-    tg_utils = types.ModuleType("torch_geometric.utils")
-    tg_utils.degree = lambda idx, num_nodes=None: torch.bincount(
-        idx, minlength=num_nodes or 0).float()
-    tg.utils = tg_utils
-    sys.modules["torch_geometric"] = tg
-    sys.modules["torch_geometric.utils"] = tg_utils
-elif not hasattr(sys.modules["torch_geometric"], "utils"):
+if "torch_geometric.utils" not in sys.modules:
     tg_utils = types.ModuleType("torch_geometric.utils")
     tg_utils.degree = lambda idx, num_nodes=None: torch.bincount(
         idx, minlength=num_nodes or 0).float()
