@@ -17,9 +17,9 @@ import torch
 # partially-populated stub for the other golden files
 import test_layer_golden_ext  # noqa: F401
 
-for name in ("networkx",):
-    if name not in sys.modules:
-        sys.modules[name] = types.ModuleType(name)
+# networkx is NOT stubbed — it is actually installed, our own
+# data/geomol_featurize.py uses it, and a bare module stub (no __spec__)
+# breaks torch's lazy importlib probing for the whole process
 if "torch_geometric.utils" not in sys.modules:
     tg_utils = types.ModuleType("torch_geometric.utils")
     tg_utils.degree = lambda idx, num_nodes=None: torch.bincount(
