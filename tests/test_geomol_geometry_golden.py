@@ -134,12 +134,10 @@ def test_fourier_encode_dist_golden():
     import collections.abc
     collections.MutableMapping = collections.abc.MutableMapping
     # commons/utils.py imports dgl + tensorboard at module level; reuse the
-    # dgl stub installed by test_layer_golden and stub the writer
+    # dgl stub installed by test_layer_golden — tensorboard is real here
+    # (never stub an installed package: the networkx lesson above)
     import test_layer_golden  # noqa: F401  (installs dgl/ogb stubs)
-    if "torch.utils.tensorboard" not in sys.modules:
-        tb = types.ModuleType("torch.utils.tensorboard")
-        tb.SummaryWriter = object
-        sys.modules["torch.utils.tensorboard"] = tb
+    import torch.utils.tensorboard  # noqa: F401
     sys.path.insert(0, "/root/reference")
     from commons.utils import fourier_encode_dist as ref_fourier
     sys.path.pop(0)
