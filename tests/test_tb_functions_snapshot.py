@@ -77,3 +77,21 @@ def test_no_hooks_by_default(tmp_path):
                  loss_name="L1Loss", use_tensorboard=False)
     tr.train(loader, loader)
     assert not os.path.exists(os.path.join(tr.run_dir, "figures.jsonl"))
+
+
+def test_real_tensorboard_writer(tmp_path):
+    """use_tensorboard=True exercises the actual torch SummaryWriter
+    (installed here): event files appear in the run dir and scalars land."""
+    ds = _Dataset(targets=2)
+    loader = GraphDataLoader(ds, 8, "graph_collate", bucket=BUCKET2D,
+                             prefetch=0)
+    model = PNA(**{**PNA_SMALL, "target_dim": 2})
+    tr = Trainer({"model": model}, base_args(num_epochs=1),
+                 metrics={"mae": get_metric("mae")}, main_metric="loss",
+                 run_dir=str(tmp_path / "tb_on"), loss_name="L1Loss",
+                 use_tensorboard=True)
+    tr.train(loader, loader)
+    import glob as _glob
+    events = _glob.glob(os.path.join(tr.run_dir, "events.out.tfevents.*"))
+    assert events, "SummaryWriter wrote no event files"
+    assert os.path.getsize(events[0]) > 0
