@@ -291,10 +291,13 @@ class CategoricalFeatureEncoder(nn.Module):
     """Sum of one embedding table per categorical column (reference
     AtomEncoder/BondEncoder, commons/mol_encoder.py:10-73).
 
-    `padding=True` maps code -1 to a zero-frozen row 0 (torch padding_idx=0).
-    On TPU we instead clamp and mask: row 0 is still a parameter but the
-    output is zeroed for -1 codes, which matches padding_idx forward
-    semantics (the row never receives gradient because the output is zeroed).
+    `padding=True`: code -1 selects a gradient-frozen constant row.  The
+    reference (mol_encoder.py:24-27) re-xaviers the whole table AFTER
+    constructing Embedding(padding_idx=0), so ITS frozen row is a random
+    non-zero vector; here the -1 output is zeroed instead (also frozen,
+    since the one-hot row is zeroed).  Equivalent everywhere it's consumed:
+    the only padding=True user is the dense EGNN (egnn_torch.py:160), whose
+    padded rows are node_mask-excluded downstream.
     """
     feature_dims: Sequence[int]
     emb_dim: int
