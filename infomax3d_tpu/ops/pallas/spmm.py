@@ -429,7 +429,9 @@ def _stats_kernel(row_ptr_ref, msg_hbm, sum_ref, mean_ref, std_ref,
         @pl.when(s < tile_deg)
         def _(s=s):
             tgt = starts + s
-            has_s = (tgt < ends)[:, None]
+            # int32 before the minor-dim insert: Mosaic rejects [:, None] on
+            # i1 vectors ("insertion of minor dim ... only for 32-bit types")
+            has_s = (tgt < ends).astype(jnp.int32)[:, None] > 0
             onehot = (eidx == tgt[:, None]).astype(win.dtype)
             row = jnp.dot(onehot, win, preferred_element_type=jnp.float32)
             sf = jnp.full((), float(s), jnp.float32)
