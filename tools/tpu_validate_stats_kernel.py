@@ -76,7 +76,11 @@ def parity(interpret: bool = False):
              (np.abs(want_i).max(axis=(1, 2)) + 1e-9))
     rel_f = (np.abs(got - want_f).max(axis=(1, 2)) /
              (np.abs(want_f).max(axis=(1, 2)) + 1e-9))
-    ok_fwd = bool((rel_f < 0.05).all())
+    # Loose hw-vs-interp sanity bound: interpret's excess precision means it
+    # is not the ground truth (see the comment above), but a catastrophic
+    # lowering regression (rel ~ 1.0) should still fail the harness even
+    # when f32 parity happens to hold on this one shape.
+    ok_fwd = bool((rel_f < 0.05).all() and (rel_i < 0.5).all())
 
     # bwd, smooth part (sum/mean/std cotangents; zero on max/min): strict —
     # the analytic VJP has no tie-routing freedom here.  max/min cotangents
@@ -107,7 +111,7 @@ def parity(interpret: bool = False):
     big = np.abs(gk - gf) > 0.02 * (np.abs(gf).max() + 1e-9)
     outlier_frac = float(big.mean())
     ok_bwd = bool(np.isfinite(gk).all() and
-                  sm_rel < 0.15 and outlier_frac < 0.02)
+                  sm_rel < 0.15 and outlier_frac < 0.02 and hw_rel < 0.5)
     print(json.dumps({"step": "parity",
                       "fwd_rel_vs_interp": rel_i.tolist(),
                       "fwd_rel_vs_f32": rel_f.tolist(),
