@@ -372,21 +372,37 @@ def transfer_pretrained(state, args: Dict[str, Any]):
     from flax.traverse_util import flatten_dict, unflatten_dict
     import jax.numpy as jnp
 
-    with open(args["pretrain_checkpoint"], "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    src_key = "model3d" if args.get("transfer_3d") else "model"
-    src = raw.get("params", {}).get(src_key, {})
-    if "student" in src:                       # BYOL wrapper checkpoint
-        src = src["student"]
-    flat_src = flatten_dict(src)
-    # reference renames '^gnn.'/'^gnn2.' -> 'node_gnn.' (train.py:220 —
-    # ANCHORED at the root: a nested 'gnn' submodule like the Geomol
-    # backbone's keeps its name)
-    renamed = {}
-    for path, v in flat_src.items():
-        if path and path[0] in ("gnn", "gnn2"):
-            path = ("node_gnn",) + path[1:]
-        renamed[path] = v
+    from infomax3d_tpu.train import torch_interop
+
+    if torch_interop.is_torch_checkpoint(args["pretrain_checkpoint"]):
+        # reference-format .pt checkpoint (trainer.py:252-280 payload):
+        # convert the torch state_dict onto this state's flax tree; the
+        # root renames happen on the torch key strings, then the same
+        # transfer_layers filtering below applies unchanged
+        payload = torch_interop.load_torch_payload(args["pretrain_checkpoint"])
+        sd_key = ("model3d_state_dict" if args.get("transfer_3d")
+                  else "model_state_dict")
+        sd = torch_interop.rename_torch_keys(payload.get(sd_key) or {})
+        renamed, flat_sstats_t, _ = torch_interop.convert_state_dict(
+            sd, flatten_dict(state.params["model"]),
+            flatten_dict(state.batch_stats.get("model", {})), verbose=True)
+        raw = None
+    else:
+        with open(args["pretrain_checkpoint"], "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        src_key = "model3d" if args.get("transfer_3d") else "model"
+        src = raw.get("params", {}).get(src_key, {})
+        if "student" in src:                       # BYOL wrapper checkpoint
+            src = src["student"]
+        flat_src = flatten_dict(src)
+        # reference renames '^gnn.'/'^gnn2.' -> 'node_gnn.' (train.py:220 —
+        # ANCHORED at the root: a nested 'gnn' submodule like the Geomol
+        # backbone's keeps its name)
+        renamed = {}
+        for path, v in flat_src.items():
+            if path and path[0] in ("gnn", "gnn2"):
+                path = ("node_gnn",) + path[1:]
+            renamed[path] = v
     # reference tokens are substrings of torch's dot-joined names
     # (configs/tune_from_ot_geomol_gnn.yml: 'gnn.'); our paths join with '/'
     transfer = [t.replace(".", "/") for t in (args["transfer_layers"] or [])]
@@ -410,12 +426,15 @@ def transfer_pretrained(state, args: Dict[str, Any]):
     params = dict(params)
     params["model"] = unflatten_dict(flat_dst)
     # transfer batch stats for the same subtrees
-    src_stats = raw.get("batch_stats", {}).get(src_key, {})
-    if "student" in src_stats:
-        src_stats = src_stats["student"]
-    flat_sstats = {(("node_gnn",) + k[1:] if k and k[0] in ("gnn", "gnn2")
-                    else k): v
-                   for k, v in flatten_dict(src_stats).items()}
+    if raw is None:                            # torch checkpoint path
+        flat_sstats = flat_sstats_t
+    else:
+        src_stats = raw.get("batch_stats", {}).get(src_key, {})
+        if "student" in src_stats:
+            src_stats = src_stats["student"]
+        flat_sstats = {(("node_gnn",) + k[1:] if k and k[0] in ("gnn", "gnn2")
+                        else k): v
+                       for k, v in flatten_dict(src_stats).items()}
     bstats = dict(state.batch_stats)
     flat_bdst = flatten_dict(bstats["model"])
     for path, v in flat_bdst.items():

@@ -1,0 +1,221 @@
+"""Torch-checkpoint interop: load reference `.pt` checkpoints into flax trees.
+
+The reference's headline workflow fine-tunes from a published torch
+checkpoint (`/root/reference/train.py:207-231`; payload written by
+`/root/reference/trainer/trainer.py:252-280` —
+``{'model_state_dict', 'model3d_state_dict', 'optimizer_state_dict', ...}``).
+This module maps those torch ``state_dict`` keys onto this framework's flax
+parameter/batch-stats trees so ``pretrain_checkpoint: *.pt`` drives transfer
+learning directly.
+
+Approach: the FLAX tree is the template.  For every flax leaf path we
+*generate* the corresponding torch key by component-wise name translation
+(the same correspondence the golden-parity tests encode by construction,
+``tests/test_layer_golden.py::copy_mlp``), look it up in the state_dict, and
+adapt the layout (torch ``Linear.weight`` is ``[out, in]``; flax ``kernel``
+is ``[in, out]``).  Unmatched leaves on either side are reported, never
+silently dropped.
+
+Name translation (flax component -> torch component):
+
+====================  =======================================
+``mp_{i}``            ``mp_layers.{i}``        (PNAGNN / Net3D)
+``conv_{i}``          ``convs.{i}``            (OGBGNN GNN_node)
+``batch_norm_{i}``    ``batch_norms.{i}``      (OGBGNN GNN_node)
+``FCLayer_{i}``       ``fully_connected.{i}``  (MLP)
+``Dense_0/kernel``    ``linear.weight``:sup:`T` (FCLayer)
+``MaskedBatchNorm_0`` ``batch_norm``           (FCLayer; scale->weight,
+                      mean/var -> running_mean/running_var)
+``encoder/emb_{i}``   ``atom|bond_embedding_list.{i}.weight``
+``<dense>/kernel``    ``<dense>.weight``:sup:`T` (bare nn.Dense modules)
+====================  =======================================
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """True when `path` is a torch pickle (zipfile-based or legacy magic),
+    False for flax msgpack checkpoints."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    # torch >=1.6 saves a zip archive ("PK\x03\x04"); legacy torch pickles
+    # start with pickle protocol 2 opcodes (\x80\x02).
+    return head[:4] == b"PK\x03\x04" or head[:2] == b"\x80\x02"
+
+
+def load_torch_payload(path: str) -> Dict[str, Any]:
+    """torch.load the reference checkpoint payload on CPU, tensors -> numpy."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+
+    def to_np(v):
+        if isinstance(v, torch.Tensor):
+            return v.detach().cpu().numpy()
+        return v
+
+    out = {}
+    for k, v in payload.items():
+        if isinstance(v, Mapping) and k.endswith("state_dict") and \
+                "optimizer" not in k and "scheduler" not in k:
+            out[k] = {kk: to_np(vv) for kk, vv in v.items()}
+        else:
+            out[k] = v
+    return out
+
+
+def _torch_key_candidates(path: Tuple[str, ...], collection: str):
+    """Generate candidate torch state_dict keys for one flax leaf path.
+
+    `collection` is 'params' or 'batch_stats'; yields (key, transform) where
+    transform adapts the numpy array layout (None = identity).
+    """
+    comps = list(path)
+    leaf = comps[-1]
+    mods = comps[:-1]
+
+    def xlate(c: str) -> str:
+        if c.startswith("mp_") and c[3:].isdigit():
+            return f"mp_layers.{c[3:]}"
+        if c.startswith("conv_") and c[5:].isdigit():
+            return f"convs.{c[5:]}"
+        if c.startswith("batch_norm_") and c[11:].isdigit():
+            return f"batch_norms.{c[11:]}"
+        if c.startswith("FCLayer_"):
+            return f"fully_connected.{c[8:]}"
+        if c.startswith("lstm_") and c[5:].isdigit():
+            return f"lstm.{c[5:]}"
+        return c
+
+    mods_t = [xlate(c) for c in mods]
+
+    # embedding tables: .../atom_encoder/encoder/emb_{i} -> the reference
+    # wraps the per-column Embeddings in atom/bond_embedding_list
+    if leaf.startswith("emb_") and mods and mods[-1] == "encoder":
+        i = leaf[4:]
+        kind = "atom" if any("atom" in c for c in mods) else "bond"
+        base = ".".join(mods_t[:-1])  # drop the 'encoder' wrapper level
+        prefix = f"{base}." if base else ""
+        yield f"{prefix}{kind}_embedding_list.{i}.weight", None
+        return
+
+    prefix = ".".join(mods_t)
+    prefix = f"{prefix}." if prefix else ""
+
+    if collection == "batch_stats":
+        # MaskedBatchNorm_0 stats under an FCLayer sit on its `batch_norm`
+        # attribute; a bare MaskedBatchNorm maps to the module name itself
+        name = {"mean": "running_mean", "var": "running_var"}.get(leaf)
+        if name is None:
+            return
+        if mods_t and mods_t[-1] == "MaskedBatchNorm_0":
+            base = ".".join(mods_t[:-1])
+            yield (f"{base}.batch_norm.{name}" if base
+                   else f"batch_norm.{name}"), None
+        else:
+            yield f"{prefix}{name}", None
+        return
+
+    if mods_t and mods_t[-1] == "Dense_0":
+        # FCLayer's Linear is attribute `linear`
+        base = ".".join(mods_t[:-1])
+        base = f"{base}." if base else ""
+        if leaf == "kernel":
+            yield f"{base}linear.weight", np.transpose
+        elif leaf == "bias":
+            yield f"{base}linear.bias", None
+        return
+
+    if mods_t and mods_t[-1] == "MaskedBatchNorm_0":
+        base = ".".join(mods_t[:-1])
+        base = f"{base}." if base else ""
+        if leaf == "scale":
+            yield f"{base}batch_norm.weight", None
+        elif leaf == "bias":
+            yield f"{base}batch_norm.bias", None
+        return
+
+    if leaf == "kernel":
+        yield f"{prefix[:-1]}.weight" if prefix else "weight", np.transpose
+        return
+    if leaf == "scale":
+        yield f"{prefix[:-1]}.weight" if prefix else "weight", None
+        return
+    if leaf == "bias":
+        yield f"{prefix[:-1]}.bias" if prefix else "bias", None
+        return
+    # bare parameters (e.g. Net3D's node_embedding, GIN's eps)
+    yield f"{prefix}{leaf}", None
+
+
+def _adapt(value: np.ndarray, transform, want_shape) -> Optional[np.ndarray]:
+    v = np.asarray(value)
+    if transform is not None:
+        v = transform(v)
+    if tuple(v.shape) == tuple(want_shape):
+        return v
+    # squeeze torch [1, D] buffers onto flax [D] params (Net3D node_embedding)
+    if v.size == int(np.prod(want_shape)):
+        return v.reshape(want_shape)
+    return None
+
+
+def convert_state_dict(state_dict: Dict[str, np.ndarray],
+                       template_params: Dict[Tuple[str, ...], Any],
+                       template_stats: Dict[Tuple[str, ...], Any],
+                       verbose: bool = False):
+    """Map a (already root-renamed) torch state_dict onto flat flax dicts.
+
+    `template_params` / `template_stats` are *flat* dicts (tuple path ->
+    array) as produced by `flax.traverse_util.flatten_dict`; returns
+    (flat_params, flat_stats, report) where the flat outputs contain ONLY
+    the matched leaves (callers overlay them subject to transfer filters)
+    and report = {'matched': int, 'missing': [flax paths], 'unused':
+    [torch keys]}.
+    """
+    used = set()
+    out_p: Dict[Tuple[str, ...], np.ndarray] = {}
+    out_s: Dict[Tuple[str, ...], np.ndarray] = {}
+    missing = []
+    for collection, template, out in (("params", template_params, out_p),
+                                      ("batch_stats", template_stats, out_s)):
+        for path, tmpl in template.items():
+            hit = False
+            for key, transform in _torch_key_candidates(path, collection):
+                if key in state_dict:
+                    v = _adapt(state_dict[key], transform,
+                               np.shape(tmpl))
+                    if v is not None:
+                        out[path] = v
+                        used.add(key)
+                        hit = True
+                        break
+            if not hit:
+                missing.append((collection,) + path)
+    unused = [k for k in state_dict
+              if k not in used and "num_batches_tracked" not in k]
+    report = {"matched": len(out_p) + len(out_s), "missing": missing,
+              "unused": unused}
+    if verbose:
+        print(f"torch->flax: matched {report['matched']} tensors, "
+              f"{len(missing)} flax leaves unmatched, "
+              f"{len(unused)} torch keys unused")
+    return out_p, out_s, report
+
+
+def rename_torch_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """The reference's transfer renames (train.py:216-226), applied on torch
+    key strings: strip BYOL 'student.' prefixes, root-anchored 'gnn.'/'gnn2.'
+    -> 'node_gnn.'."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("student."):
+            k = k[len("student."):]
+        if k.startswith("gnn.") or k.startswith("gnn2."):
+            k = "node_gnn." + k.split(".", 1)[1]
+        out[k] = v
+    return out

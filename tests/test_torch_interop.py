@@ -1,0 +1,179 @@
+"""Torch-checkpoint interop round trip (VERDICT r2 item 3).
+
+torch.save a REAL reference PNA model (the mounted torch code,
+`/root/reference/models/pna.py`) in the reference's checkpoint payload
+format (`/root/reference/trainer/trainer.py:252-280`), load it through
+`transfer_pretrained` (`pretrain_checkpoint: *.pt`,
+`/root/reference/train.py:207-231`), and assert full-model forward parity
+between the transferred flax model and the torch original — including
+BatchNorm running statistics moved away from their init by torch train-mode
+passes, so eval parity is non-trivial.
+"""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+# canonical reference-import stubs (dgl/ogb/torch_geometric/...)
+import test_layer_golden_ext  # noqa: F401
+from test_layer_golden import FakeDGLGraph  # noqa: E402
+
+sys.path.insert(0, "/root/reference")
+from models.pna import PNA as RefPNA  # noqa: E402
+
+sys.path.pop(0)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from infomax3d_tpu.data.synthetic import SyntheticMolecules  # noqa: E402
+from infomax3d_tpu.graphs.batch import (  # noqa: E402
+    BucketSpec, batch_graphs, to_graph_batch)
+from infomax3d_tpu.models import PNA  # noqa: E402
+from infomax3d_tpu.train.state import TrainState  # noqa: E402
+from infomax3d_tpu.train.torch_interop import (  # noqa: E402
+    is_torch_checkpoint, load_torch_payload)
+
+
+def _readout_nodes(g, key, op="sum"):
+    """dgl.readout_nodes for the single-graph FakeDGLGraph."""
+    feat = g.ndata[key]
+    if op == "sum":
+        return feat.sum(0, keepdim=True)
+    if op == "mean":
+        return feat.mean(0, keepdim=True)
+    if op == "max":
+        return feat.max(0, keepdim=True).values
+    if op == "min":
+        return feat.min(0, keepdim=True).values
+    raise ValueError(op)
+
+
+sys.modules["dgl"].readout_nodes = _readout_nodes
+
+HP = dict(hidden_dim=16, target_dim=8,
+          aggregators=["mean", "max", "min", "std"],
+          scalers=["identity", "amplification", "attenuation"],
+          readout_aggregators=["min", "max", "mean"],
+          mid_batch_norm=True, last_batch_norm=True, readout_batchnorm=True,
+          batch_norm_momentum=0.93, readout_hidden_dim=16,
+          propagation_depth=2, readout_layers=2, pretrans_layers=2,
+          posttrans_layers=1)
+
+
+def _fake_graph(mol):
+    g = FakeDGLGraph(mol["senders"], mol["receivers"],
+                     mol["node_feat"].shape[0])
+    g.ndata["feat"] = torch.as_tensor(mol["node_feat"], dtype=torch.long)
+    g.edata["feat"] = torch.as_tensor(mol["edge_feat"], dtype=torch.long)
+    return g
+
+
+@pytest.fixture(scope="module")
+def saved_ckpt(tmp_path_factory):
+    torch.manual_seed(7)
+    ref = RefPNA(**HP)
+    ds = SyntheticMolecules(8, seed=3, n_min=6, n_max=12)
+    mols = [ds.graph2d(i) for i in range(8)]
+    # train-mode passes move the BN running stats off their (0, 1) init so
+    # the eval-parity below actually exercises the stats transfer (the GNN
+    # and the readout head separately: a 1-graph readout batch trips torch's
+    # train-mode BN single-value check)
+    ref.train()
+    with torch.no_grad():
+        for m in mols[3:]:
+            ref.node_gnn(_fake_graph(m))
+        ref.output(torch.randn(6, HP["hidden_dim"]
+                               * len(HP["readout_aggregators"])))
+    ref.eval()
+    path = tmp_path_factory.mktemp("ckpt") / "best_checkpoint.pt"
+    torch.save({"epoch": 35, "best_val_score": 0.5, "optim_steps": 100,
+                "model_state_dict": ref.state_dict(),
+                "optimizer_state_dict": {}}, str(path))
+    return str(path), ref, mols[:3]
+
+
+def test_is_torch_checkpoint(saved_ckpt, tmp_path):
+    path, _, _ = saved_ckpt
+    assert is_torch_checkpoint(path)
+    msg = tmp_path / "x.pt"
+    msg.write_bytes(b"\x93\x01\x02\x03")       # msgpack-ish
+    assert not is_torch_checkpoint(str(msg))
+
+
+def test_payload_loads(saved_ckpt):
+    path, ref, _ = saved_ckpt
+    payload = load_torch_payload(path)
+    assert payload["epoch"] == 35
+    sd = payload["model_state_dict"]
+    assert isinstance(next(iter(sd.values())), np.ndarray)
+    assert any(k.startswith("node_gnn.mp_layers.0.pretrans") for k in sd)
+
+
+def test_full_model_roundtrip_forward_parity(saved_ckpt):
+    """reference torch PNA -> .pt -> transfer_pretrained -> flax PNA:
+    eval-mode forward allclose (params + BN running stats)."""
+    from infomax3d_tpu.cli.train import transfer_pretrained
+
+    path, ref, mols = saved_ckpt
+    model = PNA(**{k: v for k, v in HP.items()})
+    n_tot = sum(m["node_feat"].shape[0] for m in mols)
+    e_tot = sum(m["senders"].shape[0] for m in mols)
+    maxdeg = max(int(np.bincount(m["receivers"]).max()) for m in mols)
+    spec = BucketSpec(len(mols), n_tot + 8, e_tot + 16, max_deg=maxdeg,
+                      csr=True, nmax=max(m["node_feat"].shape[0]
+                                         for m in mols))
+    g = to_graph_batch(batch_graphs(mols, spec))
+    variables = model.init(jax.random.key(0), g, deterministic=True)
+    state = TrainState(params={"model": variables["params"]},
+                       batch_stats={"model": variables.get("batch_stats", {})},
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    args = {"pretrain_checkpoint": path,
+            "transfer_layers": ["node_gnn", "output"],
+            "exclude_from_transfer": [], "transfer_3d": False}
+    state = transfer_pretrained(state, args)
+
+    out = model.apply({"params": state.params["model"],
+                       "batch_stats": state.batch_stats["model"]}, g,
+                      deterministic=True)
+    with torch.no_grad():
+        want = torch.cat([ref(_fake_graph(m)) for m in mols]).numpy()
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_partial_transfer_respects_filters(saved_ckpt):
+    """transfer_layers=['node_gnn'] must leave the output head at init."""
+    from infomax3d_tpu.cli.train import transfer_pretrained
+
+    path, _, mols = saved_ckpt
+    model = PNA(**HP)
+    spec = BucketSpec(1, 16, 32,
+                      max_deg=int(np.bincount(mols[0]["receivers"]).max()),
+                      csr=True, nmax=mols[0]["node_feat"].shape[0])
+    g = to_graph_batch(batch_graphs(mols[:1], spec))
+    variables = model.init(jax.random.key(1), g, deterministic=True)
+    state = TrainState(params={"model": variables["params"]},
+                       batch_stats={"model": variables.get("batch_stats", {})},
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    before = jax.tree_util.tree_map(np.asarray, state.params["model"])
+    args = {"pretrain_checkpoint": path, "transfer_layers": ["node_gnn"],
+            "exclude_from_transfer": ["batch_norm"], "transfer_3d": False}
+    state = transfer_pretrained(state, args)
+    after = state.params["model"]
+    # output head untouched
+    np.testing.assert_array_equal(
+        before["output"]["FCLayer_0"]["Dense_0"]["kernel"],
+        np.asarray(after["output"]["FCLayer_0"]["Dense_0"]["kernel"]))
+    # BN params inside node_gnn untouched (excluded), Dense kernels changed
+    np.testing.assert_array_equal(
+        np.asarray(before["node_gnn"]["mp_0"]["pretrans"]["FCLayer_0"]
+                   ["MaskedBatchNorm_0"]["scale"]),
+        np.asarray(after["node_gnn"]["mp_0"]["pretrans"]["FCLayer_0"]
+                   ["MaskedBatchNorm_0"]["scale"]))
+    assert not np.array_equal(
+        np.asarray(before["node_gnn"]["mp_0"]["pretrans"]["FCLayer_0"]
+                   ["Dense_0"]["kernel"]),
+        np.asarray(after["node_gnn"]["mp_0"]["pretrans"]["FCLayer_0"]
+                   ["Dense_0"]["kernel"]))
