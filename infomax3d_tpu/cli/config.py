@@ -91,6 +91,9 @@ DEFAULTS: Dict[str, Any] = dict(
     # split over a second 'graph' mesh axis inside the train step
     # (parallel/edge_partition.py); total devices = n_shards * graph_shards
     graph_shards=1,
+    # tensor parallelism factor: params column-sharded over a 'model' mesh
+    # axis, the jit step auto-partitions via GSPMD (parallel/tp.py)
+    model_shards=1,
     dataset_params={},
     max_nodes=40,
     use_tensorboard=True,

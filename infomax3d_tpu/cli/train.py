@@ -644,9 +644,21 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
     models = build_models(args, dataset)
 
     mesh = None
+    tp_mesh = None
     n_shards = args.get("n_shards", 1)
     graph_shards = args.get("graph_shards", 1)
-    if n_shards > 1 or graph_shards > 1:
+    model_shards = args.get("model_shards", 1)
+    if model_shards > 1:
+        # tensor parallelism (parallel/tp.py): params column-sharded over a
+        # (data, model) mesh's 'model' axis; the plain jit step
+        # auto-partitions via GSPMD.  A layout mode, so it excludes the
+        # shard_map meshes (n_shards / graph_shards).
+        if n_shards > 1 or graph_shards > 1:
+            raise ValueError("model_shards cannot combine with n_shards/"
+                             "graph_shards yet — pick one parallel mode")
+        from infomax3d_tpu.parallel.tp import make_tp_mesh
+        tp_mesh = make_tp_mesh(1, model_shards)
+    elif n_shards > 1 or graph_shards > 1:
         from infomax3d_tpu.parallel import make_mesh
         if graph_shards > 1:
             # (data, graph) mesh: DP over 'data', edge-partitioned graph
@@ -708,7 +720,7 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
         run_dir=run_dir, loss_func=loss_func, loss_name=loss_name,
         main_metric_goal=args["main_metric_goal"],
         scheduler_step_per_batch=args["scheduler_step_per_batch"],
-        seed=args["seed"], mesh=mesh,
+        seed=args["seed"], mesh=mesh, tp_mesh=tp_mesh,
         use_tensorboard=args.get("use_tensorboard", True))
 
     train_loader, val_loader, test_loader = make_loaders(args, dataset, mesh)

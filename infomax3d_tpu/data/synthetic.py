@@ -18,20 +18,45 @@ import numpy as np
 from infomax3d_tpu.models.base import FULL_ATOM_FEATURE_DIMS, FULL_BOND_FEATURE_DIMS
 
 
+MAX_VALENCE = 4
+
+
 def random_molecule(rng: np.random.Generator, n_min: int = 4, n_max: int = 28,
                     with_coords: bool = True) -> Dict[str, np.ndarray]:
     n = int(rng.integers(n_min, n_max + 1))
-    # spanning tree + ring closures, both edge directions (like RDKit bonds)
-    parents = rng.integers(0, np.maximum(np.arange(1, n), 1))
-    src = np.arange(1, n)
-    dst = parents
+    # spanning tree + ring closures, both edge directions (like RDKit bonds).
+    # Degrees are VALENCE-CAPPED at 4 like real organic molecules (QM9's max
+    # bond count is carbon's 4): uniform random attachment would create hub
+    # nodes of degree ~log(n)+rings (measured max 10 at n=26), which no
+    # molecular dataset exhibits and which inflates every degree-bounded
+    # kernel (CSR bucket max_deg sizes the Pallas window and the mailbox K).
+    val = np.zeros(n, np.int64)
+    src_l: List[int] = []
+    dst_l: List[int] = []
+    for child in range(1, n):
+        cands = np.flatnonzero(val[:child] < MAX_VALENCE)
+        p = int(cands[rng.integers(0, len(cands))])
+        src_l.append(child)
+        dst_l.append(p)
+        val[child] += 1
+        val[p] += 1
     n_rings = int(rng.integers(0, max(1, n // 6) + 1))
-    if n_rings:
-        a = rng.integers(0, n, size=n_rings)
-        b = rng.integers(0, n, size=n_rings)
-        keep = a != b
-        src = np.concatenate([src, a[keep]])
-        dst = np.concatenate([dst, b[keep]])
+    bonded = set(zip(src_l, dst_l)) | set(zip(dst_l, src_l))
+    for _ in range(n_rings):
+        cands = np.flatnonzero(val < MAX_VALENCE)
+        if len(cands) < 2:
+            break
+        a, b = (int(x) for x in rng.choice(cands, size=2, replace=False))
+        if (a, b) in bonded:
+            continue
+        src_l.append(a)
+        dst_l.append(b)
+        bonded.add((a, b))
+        bonded.add((b, a))
+        val[a] += 1
+        val[b] += 1
+    src = np.asarray(src_l, np.int32)
+    dst = np.asarray(dst_l, np.int32)
     senders = np.concatenate([src, dst]).astype(np.int32)
     receivers = np.concatenate([dst, src]).astype(np.int32)
     e = senders.shape[0]

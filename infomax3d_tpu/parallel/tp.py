@@ -60,6 +60,21 @@ def tp_shard_params(params, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def tp_shard_tree(tree, mesh: Mesh, axis: str = "model"):
+    """`tp_shard_params` for ANY param-shaped tree (optimizer moments,
+    batch-stats vectors, BYOL teacher copies): every leaf is device_put with
+    the shape-derived column sharding, non-array leaves pass through."""
+    tp_size = mesh.shape[axis]
+
+    def put(leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        spec = tp_spec_for("", leaf, tp_size, axis)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def make_tp_mesh(n_data: int, n_model: int,
                  devices: Optional[list] = None) -> Mesh:
     devs = devices if devices is not None else jax.devices()

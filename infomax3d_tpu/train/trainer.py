@@ -82,7 +82,8 @@ class Trainer:
                  loss_func: Any = None, loss_name: str = "MSELoss",
                  main_metric_goal: str = "min",
                  scheduler_step_per_batch: bool = True,
-                 seed: int = 0, mesh=None, use_tensorboard: bool = True):
+                 seed: int = 0, mesh=None, tp_mesh=None,
+                 use_tensorboard: bool = True):
         self.models = models
         self.args = args
         self.metrics = metrics
@@ -103,6 +104,15 @@ class Trainer:
             preflight_stats_kernel()
         self.run_dir = run_dir
         self.mesh = mesh
+        # tensor parallelism is a LAYOUT, not a step rewrite: params (and
+        # every param-shaped tree) are column-sharded over tp_mesh's 'model'
+        # axis and the ordinary jit step auto-partitions via GSPMD
+        # (parallel/tp.py); mutually exclusive with the shard_map mesh
+        self.tp_mesh = tp_mesh
+        if tp_mesh is not None and mesh is not None:
+            raise ValueError("tp_mesh (GSPMD model sharding) and mesh "
+                             "(shard_map DP/graph partitioning) cannot be "
+                             "combined yet — use one or the other")
         os.makedirs(run_dir, exist_ok=True)
         enable_persistent_compilation_cache()
         self.logger = RunLogger(run_dir, use_tensorboard=use_tensorboard)
@@ -147,6 +157,9 @@ class Trainer:
                                 opt_state=opt_state,
                                 step=jnp.zeros([], jnp.int32),
                                 extra=self._init_extra(params, batch_stats))
+        if self.tp_mesh is not None:
+            from infomax3d_tpu.parallel.tp import tp_shard_tree
+            self.state = tp_shard_tree(self.state, self.tp_mesh)
         self._snapshot_model_source()
         if self.args.get("checkpoint"):
             self._load(self.args["checkpoint"])
