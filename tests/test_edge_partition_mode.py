@@ -134,7 +134,12 @@ def test_pure_edge_partition_contrastive_matches_single():
     rng = jax.random.key(5)
     g_single = _grads(tr_s, batch, rng)
     g_part = _grads_partitioned(tr_p, batch, rng, mesh, NDEV)
-    _assert_tree_close(g_single, g_part)
+    # grads need extra headroom: PNA's std aggregator at degree-1 nodes sits
+    # on the relu(s2/deg - mean^2) + EPS knife edge where s2 - mean^2 is
+    # pure rounding noise and the backward multiplies by 1/std ~ 1/sqrt(EPS)
+    # — the partition's different f32 reduction order shifts that noise
+    # (observed maxdiff ~3e-4 relative on pretrans kernels)
+    _assert_tree_close(g_single, g_part, rtol=8e-4, floor=5e-4)
 
     lrs = tr_s._full_lr_vector()
     step_s, _ = tr_s._steps_for(batch)

@@ -68,6 +68,7 @@ def test_vendored_surface_complete():
     assert set(ref) <= set(ALL_CONFIGS)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ALL_CONFIGS)
 def test_config_resolves(name, tmp_path, monkeypatch):
     if name in SKIP:
@@ -133,6 +134,7 @@ def full_data_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ALL_CONFIGS)
 def test_config_builds(name, full_data_root, monkeypatch, tmp_path):
     """Beyond name resolution: every config constructs its dataset, splits,
@@ -226,12 +228,14 @@ def _run(name, tmp_path, **overrides):
     return args, train(args)
 
 
+@pytest.mark.slow
 def test_step_byol(env_data, tmp_path):
     args, res = _run("byol.yml", tmp_path, batch_size=16, num_train=32)
     assert args["trainer"] == "byol"
     assert np.isfinite(res["CosineSimilarityLoss"])
 
 
+@pytest.mark.slow
 def test_step_net3dae_autoencoder(env_data, tmp_path):
     args, res = _run("contrastive_training_Net3DAE.yml", tmp_path,
                      batch_size=8, num_train=24)
@@ -241,6 +245,7 @@ def test_step_net3dae_autoencoder(env_data, tmp_path):
     assert np.isfinite(res["NTXentAE"])
 
 
+@pytest.mark.slow
 def test_step_pna_original_molhiv_snorm(env_data, tmp_path):
     args, res = _run("pna_original_molhiv.yml", tmp_path,
                      batch_size=16, num_train=48)
@@ -250,6 +255,7 @@ def test_step_pna_original_molhiv_snorm(env_data, tmp_path):
     assert any(k.startswith("ogbg-molhiv") for k in res)
 
 
+@pytest.mark.slow
 def test_step_pnatransformer_ogbg(env_data, tmp_path):
     args, res = _run("pnatransformer_ogbg.yml", tmp_path,
                      batch_size=16, num_train=48)
@@ -257,18 +263,21 @@ def test_step_pnatransformer_ogbg(env_data, tmp_path):
     assert any(k.startswith("ogbg-molhiv") for k in res)
 
 
+@pytest.mark.slow
 def test_step_san_ogbg(env_data, tmp_path):
     args, res = _run("san_ogbg.yml", tmp_path, batch_size=16, num_train=48)
     assert "san_graph" in [str(r) for r in args["required_data"]]
     assert any(k.startswith("ogbg-molhiv") for k in res)
 
 
+@pytest.mark.slow
 def test_step_sphere_net_smp(env_data, tmp_path):
     args, res = _run("sphere_net.yml", tmp_path, batch_size=8, num_train=16)
     assert args["model_type"] == "SMP"
     assert np.isfinite(res["L1Loss"])
 
 
+@pytest.mark.slow
 def test_step_smp_rdkit_conformers(env_data, tmp_path):
     """SMP on the RDKit-conformer QM9 cache (configs/SMP_rdkit_conformers.yml
     -> dataset qm9_rdkit, reference qm9_dataset_rdkit_conformers.py)."""
@@ -278,12 +287,14 @@ def test_step_smp_rdkit_conformers(env_data, tmp_path):
     assert np.isfinite(res["L1Loss"])
 
 
+@pytest.mark.slow
 def test_step_transformer_plain(env_data, tmp_path):
     args, res = _run("transformer.yml", tmp_path, batch_size=16, num_train=32)
     assert args["model_type"] == "TransformerPlain"
     assert np.isfinite(res["L1Loss"])
 
 
+@pytest.mark.slow
 def test_step_pcba_nan_masked_multitask(env_data, tmp_path):
     args, res = _run("pcba_tune_pna.yml", tmp_path,
                      batch_size=16, num_train=48)
@@ -291,6 +302,7 @@ def test_step_pcba_nan_masked_multitask(env_data, tmp_path):
     assert any(k.startswith("ogbg-molpcba") for k in res)
 
 
+@pytest.mark.slow
 def test_step_kl_multiple_positives(env_data, tmp_path):
     args, res = _run("contrastive_training_multiple_positives_kl_div_loss.yml",
                      tmp_path, batch_size=8, num_train=16)
@@ -298,6 +310,7 @@ def test_step_kl_multiple_positives(env_data, tmp_path):
     assert np.isfinite(res["KLDivergenceMultiplePositives"])
 
 
+@pytest.mark.slow
 def test_step_ot_pyg_in_memory(env_data, tmp_path):
     args, res = _run("ot_pyg_in_memory.yml", tmp_path, batch_size=2,
                      num_train=6, num_conformers=3)
@@ -307,6 +320,7 @@ def test_step_ot_pyg_in_memory(env_data, tmp_path):
     assert np.isfinite(res["MSELoss"])
 
 
+@pytest.mark.slow
 def test_step_random_conformer_pretrain(env_data, tmp_path):
     args, res = _run("12.yml", tmp_path, batch_size=8, num_train=24)
     assert "complete_graph_random_conformer" in \
@@ -343,6 +357,7 @@ def test_conformer_collate_cap_consistency(env_data, tmp_path):
     assert int(np.asarray(g3.graph_mask).sum()) == 2 * n_real
 
 
+@pytest.mark.slow
 def test_step_dp_sharded_from_config(env_data, tmp_path):
     """`n_shards: 2` through the YAML->run_training path builds the mesh and
     trains on the virtual CPU devices (trainer-level DP equality lives in
@@ -352,6 +367,7 @@ def test_step_dp_sharded_from_config(env_data, tmp_path):
     assert np.isfinite(res["NTXent"])
 
 
+@pytest.mark.slow
 def test_step_edge_partitioned_from_config(env_data, tmp_path):
     """`graph_shards: 2` (edge-partitioned graph parallelism) through the
     same path — 2-axis (data, graph) mesh from the config."""
@@ -382,6 +398,7 @@ def test_bucket_ladder_wiring(env_data, tmp_path):
     assert any(k.startswith("ogbg-molpcba") for k in res)
 
 
+@pytest.mark.slow
 def test_step_ot_gin_virtualnode(env_data, tmp_path):
     """OT generation with the virtual-node GIN random backbone
     (configs/ot_gin.yml: gnn_model GNN_node_VirtualnodeRandom)."""
@@ -397,6 +414,7 @@ def test_step_ot_gin_virtualnode(env_data, tmp_path):
     assert np.isfinite(res["MSELoss"])
 
 
+@pytest.mark.slow
 def test_step_tune_from_ot_transfer(env_data, tmp_path, capsys):
     """OT pre-train (GeomolGNNOGBFeat backbone) -> checkpoint -> transfer
     `gnn.` into GeomolGNNWrapperOGBFeat fine-tune on ogbg-molesol
@@ -433,6 +451,7 @@ def test_step_tune_from_ot_transfer(env_data, tmp_path, capsys):
     assert m and int(m.group(1)) >= 30, (m and m.group(0))
 
 
+@pytest.mark.slow
 def test_step_net3d_distance_predictor(env_data, tmp_path):
     args, res = _run("net3d_info_experiment.yml", tmp_path,
                      batch_size=16, num_train=32)

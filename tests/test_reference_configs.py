@@ -78,6 +78,7 @@ def test_tune_qm9_homo_config_with_transfer(env_data, tmp_path):
     assert "homo" in res
 
 
+@pytest.mark.slow
 def test_pretrain_qmugs_config(env_data, tmp_path):
     args = load_config(f"{CONFIG_DIR}/pre-train_QMugs.yml", _small(dict(
         logdir=str(tmp_path), batch_size=8, num_train=24)))
@@ -86,6 +87,7 @@ def test_pretrain_qmugs_config(env_data, tmp_path):
     assert np.isfinite(res["NTXentMultiplePositives"])
 
 
+@pytest.mark.slow
 def test_pretrain_geom_drugs_config(env_data, tmp_path):
     args = load_config(f"{CONFIG_DIR}/pre-train_GEOM-Drugs.yml", _small(dict(
         logdir=str(tmp_path), batch_size=8, num_train=24)))
@@ -94,6 +96,7 @@ def test_pretrain_geom_drugs_config(env_data, tmp_path):
     assert np.isfinite(res["NTXentMultiplePositives"])
 
 
+@pytest.mark.slow
 def test_tune_freesolv_config_scaffold_multiseed(env_data, tmp_path):
     args = load_config(f"{CONFIG_DIR}/tune_freesolv.yml", _small(dict(
         logdir=str(tmp_path), batch_size=16, minimum_epochs=0,
@@ -105,6 +108,7 @@ def test_tune_freesolv_config_scaffold_multiseed(env_data, tmp_path):
         str(tmp_path), "multiple_seed_validation_statistics.txt"))
 
 
+@pytest.mark.slow
 def test_distance_predictor_baseline_config(env_data, tmp_path):
     args = load_config(f"{CONFIG_DIR}/pre-train_distance_predictor_baseline.yml",
                        _small(dict(logdir=str(tmp_path), batch_size=8,
@@ -114,6 +118,7 @@ def test_distance_predictor_baseline_config(env_data, tmp_path):
     assert np.isfinite(res["mean_predictor_loss"])
 
 
+@pytest.mark.slow
 def test_graphcl_baseline_config(env_data, tmp_path):
     args = load_config(f"{CONFIG_DIR}/pre-train_graphCL_baseline.yml",
                        _small(dict(logdir=str(tmp_path), batch_size=16,
@@ -124,6 +129,7 @@ def test_graphcl_baseline_config(env_data, tmp_path):
     assert np.isfinite(res["NTXent"])
 
 
+@pytest.mark.slow
 def test_optimal_transport_baseline_config(env_data, tmp_path):
     args = load_config(f"{CONFIG_DIR}/pre-train_Optimal_Transport_baseline.yml",
                        _small(dict(logdir=str(tmp_path), batch_size=4,
@@ -154,6 +160,7 @@ def test_fingerprint_inference_config(env_data, tmp_path):
     assert np.isfinite(np.asarray(fps)).all()
 
 
+@pytest.mark.slow
 def test_geomol_finetune_dispatch(env_data, tmp_path):
     """bace_geomol & friends: dispatchable, pre-split, OGB metric wired."""
     args = load_config(None, _small(dict(
@@ -167,6 +174,7 @@ def test_geomol_finetune_dispatch(env_data, tmp_path):
     assert any(k.startswith("ogbg-molbace") for k in res)
 
 
+@pytest.mark.slow
 def test_train_sampler_wiring(env_data, tmp_path):
     from infomax3d_tpu.cli.train import make_loaders
     args = load_config(f"{CONFIG_DIR}/pre-train_QM9.yml", _small(dict(
