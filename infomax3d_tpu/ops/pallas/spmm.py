@@ -473,7 +473,12 @@ def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool):
     must fit one DC chunk)."""
     E, D = messages.shape
     N = row_ptr.shape[0] - 1
-    TN = 128
+    # TN sweep on v5e at bench shapes (N 9216, E 18432, D 200, K 4):
+    # 32 -> 56 us, 64 -> 35 us, 128 -> 49 us, 256 -> 45 us.  Total incidence
+    # FLOPs scale with N*WIN = N*TN*K, so smaller TN does less MXU work;
+    # below 64 the per-tile DMA issue overhead dominates.  35 us is ~1.2x
+    # the pure-HBM light bound for this op (read 9.4 MB + write 23 MB).
+    TN = 64
     DC = ((D + 127) // 128) * 128
     WIN = max(((TN * max_deg + 8 + 127) // 128) * 128, 128)
     if D % DC:

@@ -37,17 +37,27 @@ from infomax3d_tpu.train.torch_interop import (  # noqa: E402
 
 
 def _readout_nodes(g, key, op="sum"):
-    """dgl.readout_nodes for the single-graph FakeDGLGraph."""
+    """dgl.readout_nodes for FakeDGLGraph — batched-aware superset (the
+    same implementation installs from test_trajectory_golden; import order
+    must not change semantics)."""
     feat = g.ndata[key]
-    if op == "sum":
-        return feat.sum(0, keepdim=True)
-    if op == "mean":
-        return feat.mean(0, keepdim=True)
-    if op == "max":
-        return feat.max(0, keepdim=True).values
-    if op == "min":
-        return feat.min(0, keepdim=True).values
-    raise ValueError(op)
+    batch_n = getattr(g, "batch_n", None) or [g.n]
+    outs = []
+    o = 0
+    for n in batch_n:
+        seg = feat[o:o + n]
+        o += n
+        if op == "sum":
+            outs.append(seg.sum(0))
+        elif op == "mean":
+            outs.append(seg.mean(0))
+        elif op == "max":
+            outs.append(seg.max(0).values)
+        elif op == "min":
+            outs.append(seg.min(0).values)
+        else:
+            raise ValueError(op)
+    return torch.stack(outs)
 
 
 sys.modules["dgl"].readout_nodes = _readout_nodes
