@@ -577,8 +577,12 @@ class GraphDataLoader:
 
     def _shard_bucket(self, bucket: BucketSpec) -> BucketSpec:
         s = self.n_shards
+        # per-shard bucket keeps the structural fields — dropping csr/
+        # max_deg here would silently kick every DP shard off the Pallas
+        # fast path
         return BucketSpec(bucket.n_graphs // s, bucket.n_nodes // s,
-                          bucket.n_edges // s)
+                          bucket.n_edges // s, max_deg=bucket.max_deg,
+                          csr=bucket.csr, nmax=bucket.nmax)
 
     def _shard_kwargs(self) -> Dict:
         kw = dict(self.collate_kwargs)

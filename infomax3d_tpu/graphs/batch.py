@@ -242,6 +242,19 @@ def batch_graphs(
         np.cumsum(np.bincount(senders.clip(0, N), minlength=N + 1)[:N],
                   out=csc_ptr[1:])
         out["csc_row_ptr"] = csc_ptr
+        # compacted kernel window: the Pallas stats kernel's per-pass MXU
+        # cost scales with its edge-window width, and the worst-case bound
+        # TN*max_deg is ~3x wider than any real molecular tile (avg degree
+        # ~2, max 4).  Measure the ACTUAL max edges under any TN-node tile
+        # and publish it (rounded up to 128 lanes, +8 DMA-alignment slack)
+        # as the shape of a tiny marker array — static to XLA, recompiles
+        # only when the bucket's density class changes.
+        from infomax3d_tpu.ops.pallas.spmm import CSR_TILE_N
+        tile_starts = np.arange(0, N, CSR_TILE_N)
+        tile_edges = (row_ptr[np.minimum(tile_starts + CSR_TILE_N, N)]
+                      - row_ptr[tile_starts])
+        win = max(128, int(np.ceil((int(tile_edges.max()) + 8) / 128)) * 128)
+        out["csr_tile_win"] = np.zeros(win, np.int8)
 
     if bucket.max_deg > 0:
         from infomax3d_tpu.ops.mailbox import build_mailbox
@@ -291,8 +304,9 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     """Wrap host arrays from :func:`batch_graphs` into a `GraphBatch` pytree."""
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
-              "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csc_perm",
-              "csc_row_ptr", "rd_node_idx", "rd_inv_flat", "in_degree"):
+              "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csr_tile_win",
+              "csc_perm", "csc_row_ptr", "rd_node_idx", "rd_inv_flat",
+              "in_degree"):
         if k in arrays:
             extras[k] = jnp.asarray(arrays[k])
     return GraphBatch(

@@ -139,6 +139,14 @@ def pack_batch_native(graphs: Sequence[Dict[str, np.ndarray]], bucket,
         out["csr_row_ptr"] = csr_row_ptr
         out["csc_perm"] = csc_perm
         out["csc_row_ptr"] = csc_row_ptr
+        # compacted Pallas window measurement — see graphs/batch.py (the
+        # pure-python packer) for the rationale; shape IS the value
+        from infomax3d_tpu.ops.pallas.spmm import CSR_TILE_N
+        tile_starts = np.arange(0, N, CSR_TILE_N)
+        tile_edges = (csr_row_ptr[np.minimum(tile_starts + CSR_TILE_N, N)]
+                      - csr_row_ptr[tile_starts])
+        win = max(128, int(np.ceil((int(tile_edges.max()) + 8) / 128)) * 128)
+        out["csr_tile_win"] = np.zeros(win, np.int8)
     if K > 0:
         out.update(
             mb_in_edges=mb_in_edges.reshape(N, K),

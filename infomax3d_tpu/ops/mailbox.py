@@ -251,9 +251,11 @@ def pna_aggregate_parts(g, messages, aggregators, scalers, avg_d_log=1.0):
     if has_csr(g) and set(aggregators) <= _PALLAS_AGGS:
         from infomax3d_tpu.ops.pallas.spmm import pna_csr_aggregate_parts
         K = g.extras["mb_in_edges"].shape[1]
+        tw = g.extras.get("csr_tile_win")
         return pna_csr_aggregate_parts(
             messages, g.extras["csr_row_ptr"], g.receivers, K, aggregators,
-            scalers, avg_d_log, interpret=_pallas_interpret())
+            scalers, avg_d_log, interpret=_pallas_interpret(),
+            tile_win=0 if tw is None else tw.shape[0])
     return [pna_aggregate(g, messages, aggregators, scalers, avg_d_log)]
 
 
@@ -261,9 +263,11 @@ def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
     if has_csr(g) and set(aggregators) <= _PALLAS_AGGS:
         from infomax3d_tpu.ops.pallas.spmm import pna_csr_aggregate
         K = g.extras["mb_in_edges"].shape[1]
+        tw = g.extras.get("csr_tile_win")
         return pna_csr_aggregate(messages, g.extras["csr_row_ptr"],
                                  g.receivers, K, aggregators, scalers,
-                                 avg_d_log, interpret=_pallas_interpret())
+                                 avg_d_log, interpret=_pallas_interpret(),
+                                 tile_win=0 if tw is None else tw.shape[0])
     if has_mailbox(g):
         return pna_mailbox_aggregate(
             messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],

@@ -43,6 +43,11 @@ from infomax3d_tpu.ops.segment import EPS
 NEG_BIG = -3.0e38
 POS_BIG = 3.0e38
 
+# node-tile height shared by the stats kernel and the batcher's compacted
+# window measurement (graphs/batch.py publishes the max edges per TILE_N-node
+# tile so WIN can shrink from the worst case TN*max_deg to ~TN*avg_deg)
+CSR_TILE_N = 64
+
 
 def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
             min_ref, win_ref, sem, *, TN, DC, WIN, K, E):
@@ -237,9 +242,9 @@ def _use_stats_kernel(messages) -> bool:
 
 
 def _stats_outs(messages, row_ptr, receivers, max_deg, aggregators, has,
-                interpret):
+                interpret, tile_win=0):
     s1, mean, std, mx, mn = csr_pna_stats(messages, row_ptr, receivers,
-                                          max_deg, interpret)
+                                          max_deg, interpret, tile_win)
     outs = {}
     for a in aggregators:
         if a == "sum":
@@ -288,7 +293,8 @@ def _reduce_outs(messages, row_ptr, receivers, max_deg, aggregators,
 def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
                       aggregators: Sequence[str],
                       scalers: Sequence[str] = ("identity",),
-                      avg_d_log: float = 1.0, interpret: bool = False):
+                      avg_d_log: float = 1.0, interpret: bool = False,
+                      tile_win: int = 0):
     """PNA multi-aggregator from one fused kernel pass — value-identical to
     `ops.segment.pna_multi_aggregate` for {sum, mean, max, min, std, var}.
     Moment aggregators fall back to the XLA path upstream."""
@@ -298,7 +304,7 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
     outs = {}
     if _use_stats_kernel(messages):
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
-                           aggregators, has, interpret)
+                           aggregators, has, interpret, tile_win)
     else:
         outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
                             aggregators, deg_safe, has, interpret)
@@ -325,7 +331,8 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
 def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
                             aggregators: Sequence[str],
                             scalers: Sequence[str] = ("identity",),
-                            avg_d_log: float = 1.0, interpret: bool = False):
+                            avg_d_log: float = 1.0, interpret: bool = False,
+                            tile_win: int = 0):
     """`pna_csr_aggregate` as SplitDense parts: the (scaler-major, aggregator
     -minor) block order of the concatenated tensor is preserved, but neither
     the aggregator concat nor the degree-scaled copies are materialized —
@@ -342,7 +349,7 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
         # directly (no node-side f32 mean/std chains, half the HBM writes,
         # double-buffered window DMA)
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
-                           aggregators, has, interpret)
+                           aggregators, has, interpret, tile_win)
     else:
         outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
                             aggregators, deg_safe, has, interpret)
@@ -466,21 +473,24 @@ def _stats_kernel(row_ptr_ref, msg_hbm, sum_ref, mean_ref, std_ref,
     amin_ref[:] = amin.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool,
+                   tile_win: int = 0):
     """Returns (sum, mean, std, max, min, argmax_slot, argmin_slot), each
     bf16 [N, D].  bf16 messages only; D <= 512 (the double-buffered window
-    must fit one DC chunk)."""
+    must fit one DC chunk).
+
+    `tile_win` (from the batcher's per-tile edge-count measurement,
+    graphs/batch.py) compacts the DMA/incidence window: every MXU pass
+    costs TN*WIN*DC, and the worst-case WIN = TN*max_deg is ~3x wider than
+    molecular tiles ever fill (avg degree ~2).  Measured in the bench step
+    on v5e: 260 us/call at the worst-case window, ~110 us compacted."""
     E, D = messages.shape
     N = row_ptr.shape[0] - 1
-    # TN sweep on v5e at bench shapes (N 9216, E 18432, D 200, K 4):
-    # 32 -> 56 us, 64 -> 35 us, 128 -> 49 us, 256 -> 45 us.  Total incidence
-    # FLOPs scale with N*WIN = N*TN*K, so smaller TN does less MXU work;
-    # below 64 the per-tile DMA issue overhead dominates.  35 us is ~1.2x
-    # the pure-HBM light bound for this op (read 9.4 MB + write 23 MB).
-    TN = 64
+    TN = CSR_TILE_N
     DC = ((D + 127) // 128) * 128
-    WIN = max(((TN * max_deg + 8 + 127) // 128) * 128, 128)
+    WIN = tile_win if tile_win else \
+        max(((TN * max_deg + 8 + 127) // 128) * 128, 128)
     if D % DC:
         messages = jnp.pad(messages, ((0, 0), (0, DC - D % DC)))
     pad_rows = max(WIN - E, 0)
@@ -577,31 +587,32 @@ def _stats_impl() -> str:
     return os.environ.get("INFOMAX3D_STATS_IMPL", "pallas")
 
 
-def _stats_raw_dispatch(messages, row_ptr, max_deg, interpret):
+def _stats_raw_dispatch(messages, row_ptr, max_deg, interpret, tile_win=0):
     if _stats_impl() == "pallas":
-        return _csr_stats_raw(messages, row_ptr, max_deg, interpret)
+        return _csr_stats_raw(messages, row_ptr, max_deg, interpret, tile_win)
     return _csr_stats_mailbox_raw(messages, row_ptr, max_deg)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def csr_pna_stats(messages, row_ptr, receivers, max_deg: int,
-                  interpret: bool = False):
+                  interpret: bool = False, tile_win: int = 0):
     """(sum, mean, std, max, min) — all bf16 — with an analytic bf16
     backward: d_msg = A[r] + B[r]*msg + eq_max*d_max[r] + eq_min*d_min[r]
     where A/B are cheap node-side combinations of the cotangents.  The relu
     gate on var needs no explicit mask in the backward: where var clamps,
     (msg - mean) ~ 0 and the std term vanishes on its own."""
-    return _stats_raw_dispatch(messages, row_ptr, max_deg, interpret)[:5]
+    return _stats_raw_dispatch(messages, row_ptr, max_deg, interpret,
+                               tile_win)[:5]
 
 
-def _stats_fwd(messages, row_ptr, receivers, max_deg, interpret):
+def _stats_fwd(messages, row_ptr, receivers, max_deg, interpret, tile_win=0):
     s1, mean, std, mx, mn, amax, amin = _stats_raw_dispatch(
-        messages, row_ptr, max_deg, interpret)
+        messages, row_ptr, max_deg, interpret, tile_win)
     return ((s1, mean, std, mx, mn),
             (messages, receivers, row_ptr, mean, std, amax, amin))
 
 
-def _stats_bwd(max_deg, interpret, res, cots):
+def _stats_bwd(max_deg, interpret, tile_win, res, cots):
     messages, receivers, row_ptr, mean, std, amax, amin = res
     d_sum, d_mean, d_std, d_mx, d_mn = cots
     N = mean.shape[0]

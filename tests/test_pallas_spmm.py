@@ -196,3 +196,36 @@ def test_pna_csr_aggregate_bf16_path():
                               scalers, 1.1)
     np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
                                np.asarray(ref), rtol=0.03, atol=0.03)
+
+
+def test_compacted_tile_window_matches_worst_case(rng):
+    """The batcher-measured per-tile window (csr_tile_win) must be value-
+    identical to the worst-case TN*max_deg window — it only changes how
+    much of the edge stream each node tile DMAs."""
+    import jax.numpy as jnp
+
+    from infomax3d_tpu.data.synthetic import SyntheticMolecules
+    from infomax3d_tpu.graphs.batch import (BucketSpec, batch_graphs,
+                                            to_graph_batch)
+
+    ds = SyntheticMolecules(40, seed=4, n_min=6, n_max=20)
+    mols = [ds.graph2d(i) for i in range(40)]
+    maxdeg = max(int(np.bincount(m["receivers"]).max()) for m in mols)
+    n_tot = sum(m["node_feat"].shape[0] for m in mols)
+    e_tot = sum(m["senders"].shape[0] for m in mols)
+    g = to_graph_batch(batch_graphs(mols, BucketSpec(
+        40, n_tot + 16, e_tot + 16, max_deg=maxdeg, csr=True,
+        nmax=max(m["node_feat"].shape[0] for m in mols))))
+    tw = g.extras["csr_tile_win"].shape[0]
+    assert tw % 128 == 0
+    rp = g.extras["csr_row_ptr"]
+    msgs = jnp.asarray(
+        rng.normal(size=(g.senders.shape[0], 40)).astype(np.float32),
+        jnp.bfloat16)
+    aggs = ["mean", "max", "min", "std"]
+    a = pna_csr_aggregate(msgs, rp, g.receivers, maxdeg, aggs,
+                          ["identity"], 1.0, True, tile_win=tw)
+    b = pna_csr_aggregate(msgs, rp, g.receivers, maxdeg, aggs,
+                          ["identity"], 1.0, True, tile_win=0)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
