@@ -255,6 +255,16 @@ def batch_graphs(
                       - row_ptr[tile_starts])
         win = max(128, int(np.ceil((int(tile_edges.max()) + 8) / 128)) * 128)
         out["csr_tile_win"] = np.zeros(win, np.int8)
+        # backward-kernel node window: max receiver span under any TILE_E
+        # consecutive REAL edges (receivers ascend; padding sorts last)
+        from infomax3d_tpu.ops.pallas.spmm import CSR_TILE_E
+        e_real = int(row_ptr[-1])
+        spans = [1]
+        for st in range(0, e_real, CSR_TILE_E):
+            en = min(st + CSR_TILE_E, e_real)
+            spans.append(int(receivers[en - 1]) - int(receivers[st]) + 1)
+        bspan = max(128, int(np.ceil((max(spans) + 16) / 128)) * 128)
+        out["csr_bwd_span"] = np.zeros(bspan, np.int8)
 
     if bucket.max_deg > 0:
         from infomax3d_tpu.ops.mailbox import build_mailbox
@@ -304,7 +314,7 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     """Wrap host arrays from :func:`batch_graphs` into a `GraphBatch` pytree."""
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
-              "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csr_tile_win",
+              "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csr_tile_win", "csr_bwd_span",
               "csc_perm", "csc_row_ptr", "rd_node_idx", "rd_inv_flat",
               "in_degree"):
         if k in arrays:

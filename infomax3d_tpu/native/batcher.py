@@ -147,6 +147,15 @@ def pack_batch_native(graphs: Sequence[Dict[str, np.ndarray]], bucket,
                       - csr_row_ptr[tile_starts])
         win = max(128, int(np.ceil((int(tile_edges.max()) + 8) / 128)) * 128)
         out["csr_tile_win"] = np.zeros(win, np.int8)
+        from infomax3d_tpu.ops.pallas.spmm import CSR_TILE_E
+        recv_sorted = out["receivers"]
+        e_real = int(csr_row_ptr[-1])
+        spans = [1]
+        for st in range(0, e_real, CSR_TILE_E):
+            en = min(st + CSR_TILE_E, e_real)
+            spans.append(int(recv_sorted[en - 1]) - int(recv_sorted[st]) + 1)
+        bspan = max(128, int(np.ceil((max(spans) + 16) / 128)) * 128)
+        out["csr_bwd_span"] = np.zeros(bspan, np.int8)
     if K > 0:
         out.update(
             mb_in_edges=mb_in_edges.reshape(N, K),

@@ -252,10 +252,12 @@ def pna_aggregate_parts(g, messages, aggregators, scalers, avg_d_log=1.0):
         from infomax3d_tpu.ops.pallas.spmm import pna_csr_aggregate_parts
         K = g.extras["mb_in_edges"].shape[1]
         tw = g.extras.get("csr_tile_win")
+        bs = g.extras.get("csr_bwd_span")
         return pna_csr_aggregate_parts(
             messages, g.extras["csr_row_ptr"], g.receivers, K, aggregators,
             scalers, avg_d_log, interpret=_pallas_interpret(),
-            tile_win=0 if tw is None else tw.shape[0])
+            tile_win=0 if tw is None else tw.shape[0],
+            bwd_span=0 if bs is None else bs.shape[0])
     return [pna_aggregate(g, messages, aggregators, scalers, avg_d_log)]
 
 
@@ -264,10 +266,12 @@ def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
         from infomax3d_tpu.ops.pallas.spmm import pna_csr_aggregate
         K = g.extras["mb_in_edges"].shape[1]
         tw = g.extras.get("csr_tile_win")
+        bs = g.extras.get("csr_bwd_span")
         return pna_csr_aggregate(messages, g.extras["csr_row_ptr"],
                                  g.receivers, K, aggregators, scalers,
                                  avg_d_log, interpret=_pallas_interpret(),
-                                 tile_win=0 if tw is None else tw.shape[0])
+                                 tile_win=0 if tw is None else tw.shape[0],
+                                 bwd_span=0 if bs is None else bs.shape[0])
     if has_mailbox(g):
         return pna_mailbox_aggregate(
             messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],

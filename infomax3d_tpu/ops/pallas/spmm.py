@@ -48,6 +48,11 @@ POS_BIG = 3.0e38
 # tile so WIN can shrink from the worst case TN*max_deg to ~TN*avg_deg)
 CSR_TILE_N = 64
 
+# edge-block width of the Pallas stats BACKWARD kernel; the batcher
+# publishes the max receiver-node span under any TILE_E consecutive edges
+# (csr_bwd_span) so the kernel's node-window DMA is sized to reality
+CSR_TILE_E = 256
+
 
 def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
             min_ref, win_ref, sem, *, TN, DC, WIN, K, E):
@@ -242,9 +247,10 @@ def _use_stats_kernel(messages) -> bool:
 
 
 def _stats_outs(messages, row_ptr, receivers, max_deg, aggregators, has,
-                interpret, tile_win=0):
+                interpret, tile_win=0, bwd_span=0):
     s1, mean, std, mx, mn = csr_pna_stats(messages, row_ptr, receivers,
-                                          max_deg, interpret, tile_win)
+                                          max_deg, interpret, tile_win,
+                                          bwd_span)
     outs = {}
     for a in aggregators:
         if a == "sum":
@@ -294,7 +300,7 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
                       aggregators: Sequence[str],
                       scalers: Sequence[str] = ("identity",),
                       avg_d_log: float = 1.0, interpret: bool = False,
-                      tile_win: int = 0):
+                      tile_win: int = 0, bwd_span: int = 0):
     """PNA multi-aggregator from one fused kernel pass — value-identical to
     `ops.segment.pna_multi_aggregate` for {sum, mean, max, min, std, var}.
     Moment aggregators fall back to the XLA path upstream."""
@@ -304,7 +310,7 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
     outs = {}
     if _use_stats_kernel(messages):
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
-                           aggregators, has, interpret, tile_win)
+                           aggregators, has, interpret, tile_win, bwd_span)
     else:
         outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
                             aggregators, deg_safe, has, interpret)
@@ -332,7 +338,7 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
                             aggregators: Sequence[str],
                             scalers: Sequence[str] = ("identity",),
                             avg_d_log: float = 1.0, interpret: bool = False,
-                            tile_win: int = 0):
+                            tile_win: int = 0, bwd_span: int = 0):
     """`pna_csr_aggregate` as SplitDense parts: the (scaler-major, aggregator
     -minor) block order of the concatenated tensor is preserved, but neither
     the aggregator concat nor the degree-scaled copies are materialized —
@@ -349,7 +355,7 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
         # directly (no node-side f32 mean/std chains, half the HBM writes,
         # double-buffered window DMA)
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
-                           aggregators, has, interpret, tile_win)
+                           aggregators, has, interpret, tile_win, bwd_span)
     else:
         outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
                             aggregators, deg_safe, has, interpret)
@@ -593,9 +599,10 @@ def _stats_raw_dispatch(messages, row_ptr, max_deg, interpret, tile_win=0):
     return _csr_stats_mailbox_raw(messages, row_ptr, max_deg)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def csr_pna_stats(messages, row_ptr, receivers, max_deg: int,
-                  interpret: bool = False, tile_win: int = 0):
+                  interpret: bool = False, tile_win: int = 0,
+                  bwd_span: int = 0):
     """(sum, mean, std, max, min) — all bf16 — with an analytic bf16
     backward: d_msg = A[r] + B[r]*msg + eq_max*d_max[r] + eq_min*d_min[r]
     where A/B are cheap node-side combinations of the cotangents.  The relu
@@ -605,14 +612,15 @@ def csr_pna_stats(messages, row_ptr, receivers, max_deg: int,
                                tile_win)[:5]
 
 
-def _stats_fwd(messages, row_ptr, receivers, max_deg, interpret, tile_win=0):
+def _stats_fwd(messages, row_ptr, receivers, max_deg, interpret, tile_win=0,
+               bwd_span=0):
     s1, mean, std, mx, mn, amax, amin = _stats_raw_dispatch(
         messages, row_ptr, max_deg, interpret, tile_win)
     return ((s1, mean, std, mx, mn),
             (messages, receivers, row_ptr, mean, std, amax, amin))
 
 
-def _stats_bwd(max_deg, interpret, tile_win, res, cots):
+def _stats_bwd(max_deg, interpret, tile_win, bwd_span, res, cots):
     messages, receivers, row_ptr, mean, std, amax, amin = res
     d_sum, d_mean, d_std, d_mx, d_mn = cots
     N = mean.shape[0]
@@ -627,11 +635,21 @@ def _stats_bwd(max_deg, interpret, tile_win, res, cots):
     std_safe = jnp.maximum(std.astype(jnp.float32), jnp.sqrt(EPS))
     B = d_std.astype(jnp.float32) * inv / std_safe
     A = d_sum.astype(jnp.float32) + d_mean.astype(jnp.float32) * inv
+    dt = messages.dtype
+    D = messages.shape[1]
+    if (bwd_span > 0 and dt == jnp.bfloat16 and not interpret
+            and _stats_impl() == "pallas"):
+        # Pallas edge-block backward: same math, no [N,7D] concat and no
+        # [E,7D] gather materialization (node operands stream through
+        # per-block windows; the node->edge broadcast is one-hot matmuls)
+        d_msg = _csr_stats_bwd_raw(
+            messages, receivers, row_ptr,
+            (A.astype(dt), B.astype(dt), mean, d_mx.astype(dt), amax,
+             d_mn.astype(dt), amin), bwd_span, interpret)
+        return (d_msg, None, None)
     # TPU gathers are ROW-bound (~same cost at width 200 or 1400), so the
     # seven node-side operands ride ONE wide gather: concat in node space
     # (N rows, cheap) then take in edge space (E rows, the expensive part)
-    dt = messages.dtype
-    D = messages.shape[1]
     packed = jnp.concatenate(
         [A.astype(dt), B.astype(dt), mean, d_mx.astype(dt), amax,
          d_mn.astype(dt), amin], axis=1)                       # [N, 7D]
@@ -741,3 +759,137 @@ def csr_mean(messages, row_ptr, receivers, max_deg: int, interpret=False):
     s1 = csr_sum(messages, row_ptr, receivers, max_deg, interpret)
     deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
     return (s1 / jnp.maximum(deg, 1.0)).astype(messages.dtype)
+
+
+def _stats_bwd_kernel(bns_ref, a_hbm, b_hbm, mean_hbm, dmx_hbm, dmn_hbm,
+                      enc_hbm, rp_hbm, msg_ref, recv_ref, out_ref,
+                      w_a, w_b, w_mean, w_dmx, w_dmn, w_enc, w_rp, sems,
+                      *, TE, TNW, DC, N, NT):
+    """Edge-block stats backward: one node-window DMA set per block, the
+    node->edge broadcast of every operand rides one-hot MXU matmuls — the
+    [N, 7D] concat and the [E, 7D] gather materialization of the XLA
+    backward (tens of MB per layer) never exist."""
+    t = pl.program_id(0)
+    hbms = (a_hbm, b_hbm, mean_hbm, dmx_hbm, dmn_hbm, enc_hbm, rp_hbm)
+    wins = (w_a, w_b, w_mean, w_dmx, w_dmn, w_enc, w_rp)
+
+    def dma(which, slot, blk):
+        ns = pl.multiple_of((bns_ref[blk] // 8) * 8, 8)
+        return pltpu.make_async_copy(
+            hbms[which].at[pl.ds(ns, TNW), :], wins[which].at[slot],
+            sems.at[which, slot])
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        for which in range(7):
+            dma(which, 0, 0).start()
+
+    @pl.when(t + 1 < NT)
+    def _():
+        nxt = jax.lax.rem(t + 1, 2)
+        for which in range(7):
+            dma(which, nxt, t + 1).start()
+
+    ns = pl.multiple_of((bns_ref[t] // 8) * 8, 8)
+    recv = recv_ref[:]                                        # [TE, 1] i32
+    rel = recv - ns
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TE, TNW), 1)
+    inc = (lane == rel).astype(jnp.bfloat16)                  # [TE, TNW]
+
+    for which in range(7):
+        dma(which, slot, t).wait()
+
+    def bcast(which):
+        # exact bf16-value copy: one-hot rows, f32 accumulation
+        return jnp.dot(inc, wins[which][slot],
+                       preferred_element_type=jnp.float32)
+
+    a_e = bcast(0)
+    b_e = bcast(1)
+    mean_e = bcast(2)
+    dmx_e = bcast(3)
+    dmn_e = bcast(4)
+    enc_e = bcast(5)
+    rp_rows = bcast(6)                                        # [TE, 128]
+    rp_e = rp_rows[:, 0:1] * 128.0 + rp_rows[:, 1:2]          # [TE, 1]
+    eidx = (TE * t
+            + jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0)
+            ).astype(jnp.float32)
+    pos = eidx - rp_e                                         # slot of edge
+    amin_e = jnp.floor(enc_e / 16.0)
+    amax_e = enc_e - 16.0 * amin_e
+
+    msg = msg_ref[:].astype(jnp.float32)                      # [TE, DC]
+    d = a_e + b_e * (msg - mean_e)
+    d = d + dmx_e * (pos == amax_e)
+    d = d + dmn_e * (pos == amin_e)
+    valid = (recv >= 0) & (recv < N)
+    out_ref[:] = jnp.where(valid, d, 0.0).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
+                       bwd_span: int, interpret: bool):
+    """operands = (A, B, mean, d_mx, amax, d_mn, amin) node-side bf16 [N, D]
+    (A/B already combined, see _stats_bwd).  Returns d_msg [E, D] bf16."""
+    E, D = messages.shape
+    N = row_ptr.shape[0] - 1
+    TE = CSR_TILE_E
+    TNW = bwd_span
+    DC = ((D + 127) // 128) * 128
+    A, Bc, mean, d_mx, amax, d_mn, amin = operands
+    # encode both winner slots in one operand column block (slots < 16)
+    enc = (amax.astype(jnp.float32)
+           + 16.0 * amin.astype(jnp.float32)).astype(jnp.bfloat16)
+    # row_ptr as two exact-bf16 columns (values < 128 each)
+    rp = row_ptr[:-1].astype(jnp.int32)
+    rp_hi = (rp // 128).astype(jnp.bfloat16)
+    rp_lo = (rp % 128).astype(jnp.bfloat16)
+    rp_cols = jnp.zeros((N, 128), jnp.bfloat16)
+    rp_cols = rp_cols.at[:, 0].set(rp_hi).at[:, 1].set(rp_lo)
+
+    def prep(x):
+        x = x.astype(jnp.bfloat16)
+        if x.shape[1] < DC:
+            x = jnp.pad(x, ((0, 0), (0, DC - x.shape[1])))
+        return jnp.pad(x, ((0, TNW), (0, 0)))                 # window slack
+
+    node_ops = [prep(A), prep(Bc), prep(mean), prep(d_mx), prep(d_mn),
+                prep(enc), jnp.pad(rp_cols, ((0, TNW), (0, 0)))]
+
+    NT = (E + TE - 1) // TE
+    Ep = NT * TE
+    msg_p = messages.astype(jnp.bfloat16)
+    if msg_p.shape[1] < DC:
+        msg_p = jnp.pad(msg_p, ((0, 0), (0, DC - D)))
+    if Ep > E:
+        msg_p = jnp.pad(msg_p, ((0, Ep - E), (0, 0)))
+    recv_p = jnp.pad(receivers.astype(jnp.int32), (0, Ep - E),
+                     constant_values=-1).reshape(Ep, 1)
+    bns = jnp.clip(
+        jnp.searchsorted(row_ptr, jnp.arange(NT, dtype=row_ptr.dtype) * TE,
+                         side="right").astype(jnp.int32) - 1, 0, N - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NT,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7 +
+                 [pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TE, 1), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, TNW, DC), jnp.bfloat16)] * 6 +
+                       [pltpu.VMEM((2, TNW, 128), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((7, 2))],
+    )
+    kernel = functools.partial(_stats_bwd_kernel, TE=TE, TNW=TNW, DC=DC,
+                               N=N, NT=NT)
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((Ep, DC), jnp.bfloat16),
+        grid_spec=grid_spec, interpret=interpret)(
+        bns, *node_ops, msg_p, recv_p)
+    return out[:E, :D]

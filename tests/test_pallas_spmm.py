@@ -229,3 +229,68 @@ def test_compacted_tile_window_matches_worst_case(rng):
                           ["identity"], 1.0, True, tile_win=0)
     np.testing.assert_array_equal(np.asarray(a, np.float32),
                                   np.asarray(b, np.float32))
+
+
+def test_stats_bwd_kernel_interpret_parity(rng):
+    """The Pallas edge-block backward (_csr_stats_bwd_raw) is value-
+    identical to the XLA gather backward (on v5e hardware it is bit-exact;
+    interpret mode validates the same math on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from infomax3d_tpu.data.synthetic import SyntheticMolecules
+    from infomax3d_tpu.graphs.batch import (BucketSpec, batch_graphs,
+                                            to_graph_batch)
+    from infomax3d_tpu.ops.pallas import spmm
+
+    ds = SyntheticMolecules(48, seed=6, n_min=6, n_max=18)
+    mols = [ds.graph2d(i) for i in range(48)]
+    maxdeg = max(int(np.bincount(m["receivers"]).max()) for m in mols)
+    n_tot = sum(m["node_feat"].shape[0] for m in mols)
+    e_tot = sum(m["senders"].shape[0] for m in mols)
+    g = to_graph_batch(batch_graphs(mols, BucketSpec(
+        48, n_tot + 16, e_tot + 16, max_deg=maxdeg, csr=True,
+        nmax=max(m["node_feat"].shape[0] for m in mols))))
+    rp = g.extras["csr_row_ptr"]
+    bs = g.extras["csr_bwd_span"].shape[0]
+    E = g.senders.shape[0]
+    N = rp.shape[0] - 1
+    D = 40
+    msgs = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32),
+                       jnp.bfloat16)
+    # forward residuals via the mailbox reference impl
+    s1, mean, std, mx, mn, amax, amin = spmm._csr_stats_mailbox_raw(
+        msgs, rp, maxdeg)
+    cts = [jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+           for _ in range(5)]
+    d_sum, d_mean, d_std, d_mx, d_mn = [c.astype(jnp.bfloat16) for c in cts]
+    deg = (rp[1:] - rp[:-1]).astype(jnp.float32)[:, None]
+    inv = 1.0 / jnp.maximum(deg, 1.0)
+    std_safe = jnp.maximum(std.astype(jnp.float32), jnp.sqrt(spmm.EPS))
+    B = (d_std.astype(jnp.float32) * inv / std_safe).astype(jnp.bfloat16)
+    A = (d_sum.astype(jnp.float32)
+         + d_mean.astype(jnp.float32) * inv).astype(jnp.bfloat16)
+    got = spmm._csr_stats_bwd_raw(
+        msgs, g.receivers, rp, (A, B, mean, d_mx, amax, d_mn, amin),
+        bs, True)
+
+    # reference: the same gather formula in an f32 chain with ONE final
+    # bf16 cast — the kernel's arithmetic (on v5e hardware the XLA gather
+    # backward matches it bit-exactly too, via excess-precision fusions;
+    # CPU's strict per-op bf16 rounding would differ at the last bit)
+    packed = jnp.concatenate([A, B, mean, d_mx, amax, d_mn, amin], axis=1)
+    recv = g.receivers.clip(0, N - 1)
+    rows = jnp.take(packed, recv, axis=0).astype(jnp.float32)
+    Ae, Be, mean_e, dmx_e, amax_e, dmn_e, amin_e = [
+        jax.lax.dynamic_slice_in_dim(rows, k * D, D, axis=1)
+        for k in range(7)]
+    d_msg = Ae + Be * (msgs.astype(jnp.float32) - mean_e)
+    pos = (jnp.arange(E, dtype=jnp.float32)
+           - jnp.take(rp, recv).astype(jnp.float32))[:, None]
+    d_msg = d_msg + dmx_e * (pos == amax_e)
+    d_msg = d_msg + dmn_e * (pos == amin_e)
+    want = jnp.where((g.receivers < N)[:, None], d_msg,
+                     0.0).astype(jnp.bfloat16)
+
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
