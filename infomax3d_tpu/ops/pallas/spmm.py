@@ -379,9 +379,8 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
     return parts
 
 
-def _stats_kernel(row_ptr_ref, msg_hbm, sum_ref, mean_ref, std_ref,
-                  max_ref, min_ref, amax_ref, amin_ref, win_ref, ext_ref,
-                  sems, *, TN, DC, WIN, K, E, NT):
+def _stats_kernel(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, out_ref,
+                  win_ref, sems, *, TN, DC, WIN, K, E, NT):
     """bf16 fused-stats variant: emits the FINAL PNA aggregates
     (sum, mean, std, max, min) in bf16 — the mean/std node-side chains the
     f32 kernel leaves to XLA (7 layers x ~0.15 ms of [N, D] f32 elementwise)
@@ -398,23 +397,33 @@ def _stats_kernel(row_ptr_ref, msg_hbm, sum_ref, mean_ref, std_ref,
         return pltpu.make_async_copy(
             msg_hbm.at[pl.ds(base, WIN), :], win_ref.at[slot], sems.at[slot])
 
-    slot = jax.lax.rem(i, 2)
+    # 4-deep window pipeline: per-tile compute at molecular sizes (~1-2 us)
+    # is shorter than HBM DMA latency, so double buffering still stalled
+    # every tile; issuing 3 tiles ahead hides it
+    NSLOT = 4
+    slot = jax.lax.rem(i, NSLOT)
 
     @pl.when(i == 0)
     def _():
-        dma(0, 0).start()
+        for a in range(NSLOT - 1):
+            if a < NT:
+                dma(a, a).start()
 
-    @pl.when(i + 1 < NT)
+    @pl.when(i + NSLOT - 1 < NT)
     def _():
-        dma(jax.lax.rem(i + 1, 2), i + 1).start()
+        dma(jax.lax.rem(i + NSLOT - 1, NSLOT), i + NSLOT - 1).start()
 
     n0 = i * TN
     base = jnp.minimum(row_ptr_ref[n0], E - WIN)
     base = pl.multiple_of((base // 8) * 8, 8)
-    starts = jnp.stack([row_ptr_ref[n0 + k] for k in range(TN)]) - base
-    ends = jnp.stack([row_ptr_ref[n0 + k + 1] for k in range(TN)]) - base
+    # per-node ranges as VECTOR loads ([TN,1] VMEM blocks of row_ptr[:-1] /
+    # row_ptr[1:]) — the old jnp.stack of TN scalar SMEM reads serialized
+    # ~2N scalar ops per call (~230 us at bench shapes, independent of
+    # TN/WIN; this was the kernel's real bound, not the MXU)
+    starts = rp_lo_ref[:] - base                               # [TN, 1]
+    ends = rp_hi_ref[:] - base                                 # [TN, 1]
     eidx = jax.lax.broadcasted_iota(jnp.int32, (TN, WIN), 1)
-    inc = (eidx >= starts[:, None]) & (eidx < ends[:, None])   # [TN, WIN]
+    inc = (eidx >= starts) & (eidx < ends)                     # [TN, WIN]
 
     dma(slot, i).wait()
     win = win_ref[slot]                                        # [WIN, DC] bf16
@@ -433,50 +442,46 @@ def _stats_kernel(row_ptr_ref, msg_hbm, sum_ref, mean_ref, std_ref,
     # backward routes each extremum's cotangent to exactly one edge —
     # matching the reference's torch/DGL argmax semantics (JAX's XLA
     # segment_max instead splits evenly among ties; ties are common once
-    # messages are bf16-rounded).  K is the BUCKET's degree bound but most
-    # tiles top out far lower (molecular graphs: avg deg ~2, bound often
-    # 2-4x that), so each slot pass runs under pl.when(s < tile max deg) —
-    # accumulators live in VMEM scratch to allow the conditional mutation.
-    ext_ref[0] = jnp.full((TN, DC), NEG_BIG, jnp.float32)
-    ext_ref[1] = jnp.full((TN, DC), POS_BIG, jnp.float32)
-    ext_ref[2] = jnp.zeros((TN, DC), jnp.float32)
-    ext_ref[3] = jnp.zeros((TN, DC), jnp.float32)
-    tile_deg = jnp.max(ends - starts)
+    # messages are bf16-rounded).
+    # unconditional slot loop: the old per-slot pl.when(s < tile_deg)
+    # guards saved one matmul on sparse tiles but cost a scalar branch per
+    # slot per tile — at molecular degrees nearly every tile holds a
+    # max-degree node, so the guards never skipped and only added overhead
+    run_max = jnp.full((TN, DC), NEG_BIG, jnp.float32)
+    run_min = jnp.full((TN, DC), POS_BIG, jnp.float32)
+    amax = jnp.zeros((TN, DC), jnp.float32)
+    amin = jnp.zeros((TN, DC), jnp.float32)
     for s in range(K):
-        @pl.when(s < tile_deg)
-        def _(s=s):
-            tgt = starts + s
-            # int32 before the minor-dim insert: Mosaic rejects [:, None] on
-            # i1 vectors ("insertion of minor dim ... only for 32-bit types")
-            has_s = (tgt < ends).astype(jnp.int32)[:, None] > 0
-            onehot = (eidx == tgt[:, None]).astype(win.dtype)
-            row = jnp.dot(onehot, win, preferred_element_type=jnp.float32)
-            sf = jnp.full((), float(s), jnp.float32)
-            run_max = ext_ref[0]
-            run_min = ext_ref[1]
-            ext_ref[2] = jnp.where(has_s & (row > run_max), sf, ext_ref[2])
-            ext_ref[3] = jnp.where(has_s & (row < run_min), sf, ext_ref[3])
-            ext_ref[0] = jnp.where(has_s, jnp.maximum(run_max, row), run_max)
-            ext_ref[1] = jnp.where(has_s, jnp.minimum(run_min, row), run_min)
-    run_max = ext_ref[0]
-    run_min = ext_ref[1]
-    amax = ext_ref[2]
-    amin = ext_ref[3]
+        tgt = starts + s                                       # [TN, 1]
+        has_s = (tgt < ends)
+        onehot = (eidx == tgt).astype(win.dtype)
+        row = jnp.dot(onehot, win, preferred_element_type=jnp.float32)
+        sf = jnp.full((), float(s), jnp.float32)
+        amax = jnp.where(has_s & (row > run_max), sf, amax)
+        amin = jnp.where(has_s & (row < run_min), sf, amin)
+        run_max = jnp.where(has_s, jnp.maximum(run_max, row), run_max)
+        run_min = jnp.where(has_s, jnp.minimum(run_min, row), run_min)
 
-    deg = (ends - starts)[:, None].astype(jnp.float32)
+    deg = (ends - starts).astype(jnp.float32)                 # [TN, 1]
     deg_safe = jnp.maximum(deg, 1.0)
     has = deg > 0
     mean = s1 / deg_safe
     var = jax.nn.relu(s2 / deg_safe - mean * mean)
     std = jnp.sqrt(var + EPS)
     zero = jnp.zeros((), jnp.float32)
-    sum_ref[:] = s1.astype(jnp.bfloat16)
-    mean_ref[:] = jnp.where(has, mean, zero).astype(jnp.bfloat16)
-    std_ref[:] = jnp.where(has, std, zero).astype(jnp.bfloat16)
-    max_ref[:] = jnp.where(has, run_max, zero).astype(jnp.bfloat16)
-    min_ref[:] = jnp.where(has, run_min, zero).astype(jnp.bfloat16)
-    amax_ref[:] = amax.astype(jnp.bfloat16)
-    amin_ref[:] = amin.astype(jnp.bfloat16)
+    # ONE fat output block: 7 separate outputs cost 7 pipelined output-DMA
+    # issues per tile (~1.6 us/tile of fixed overhead — the kernel's actual
+    # bound at molecular sizes, not the MXU); sections at 256-aligned lane
+    # offsets are free to write and free for consumers to slice
+    out_ref[:, 0 * DC:1 * DC] = s1.astype(jnp.bfloat16)
+    out_ref[:, 1 * DC:2 * DC] = jnp.where(has, mean, zero).astype(jnp.bfloat16)
+    out_ref[:, 2 * DC:3 * DC] = jnp.where(has, std, zero).astype(jnp.bfloat16)
+    out_ref[:, 3 * DC:4 * DC] = jnp.where(has, run_max,
+                                          zero).astype(jnp.bfloat16)
+    out_ref[:, 4 * DC:5 * DC] = jnp.where(has, run_min,
+                                          zero).astype(jnp.bfloat16)
+    out_ref[:, 5 * DC:6 * DC] = amax.astype(jnp.bfloat16)
+    out_ref[:, 6 * DC:7 * DC] = amin.astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -511,23 +516,27 @@ def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool,
     Np = row_ptr.shape[0] - 1
     NT = Np // TN
 
-    out_shape = [jax.ShapeDtypeStruct((Np, DC), jnp.bfloat16)] * 7
-    out_spec = pl.BlockSpec((TN, DC), lambda i, *_: (i, 0),
+    out_shape = jax.ShapeDtypeStruct((Np, 7 * DC), jnp.bfloat16)
+    out_spec = pl.BlockSpec((TN, 7 * DC), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
+    rp_lo = row_ptr[:-1].reshape(Np, 1)
+    rp_hi = row_ptr[1:].reshape(Np, 1)
+    rp_spec = pl.BlockSpec((TN, 1), lambda i, *_: (i, 0),
+                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NT,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[out_spec] * 7,
-        scratch_shapes=[pltpu.VMEM((2, WIN, DC), messages.dtype),
-                        pltpu.VMEM((4, TN, DC), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), rp_spec, rp_spec],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((4, WIN, DC), messages.dtype),
+                        pltpu.SemaphoreType.DMA((4,))],
     )
     kernel = functools.partial(_stats_kernel, TN=TN, DC=DC, WIN=WIN,
                                K=max_deg, E=Ep, NT=NT)
-    outs = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
-                          interpret=interpret)(row_ptr, messages)
-    return tuple(o[:N, :D] for o in outs)
+    fat = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                         interpret=interpret)(row_ptr, messages, rp_lo,
+                                              rp_hi)
+    return tuple(fat[:N, k * DC:k * DC + D] for k in range(7))
 
 
 def _csr_stats_mailbox_raw(messages, row_ptr, max_deg: int):
