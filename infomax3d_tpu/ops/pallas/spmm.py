@@ -788,18 +788,23 @@ def _stats_bwd_kernel(bns_ref, a_hbm, b_hbm, mean_hbm, dmx_hbm, dmn_hbm,
             hbms[which].at[pl.ds(ns, TNW), :], wins[which].at[slot],
             sems.at[which, slot])
 
-    slot = jax.lax.rem(t, 2)
+    # 3-deep operand-window pipeline (same rationale as the forward
+    # kernel: block compute is shorter than DMA latency)
+    NSLOT = 3
+    slot = jax.lax.rem(t, NSLOT)
 
     @pl.when(t == 0)
     def _():
-        for which in range(7):
-            dma(which, 0, 0).start()
+        for a in range(NSLOT - 1):
+            if a < NT:
+                for which in range(7):
+                    dma(which, a, a).start()
 
-    @pl.when(t + 1 < NT)
+    @pl.when(t + NSLOT - 1 < NT)
     def _():
-        nxt = jax.lax.rem(t + 1, 2)
+        nxt = jax.lax.rem(t + NSLOT - 1, NSLOT)
         for which in range(7):
-            dma(which, nxt, t + 1).start()
+            dma(which, nxt, t + NSLOT - 1).start()
 
     ns = pl.multiple_of((bns_ref[t] // 8) * 8, 8)
     recv = recv_ref[:]                                        # [TE, 1] i32
@@ -891,9 +896,9 @@ def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, TNW, DC), jnp.bfloat16)] * 6 +
-                       [pltpu.VMEM((2, TNW, 128), jnp.bfloat16),
-                        pltpu.SemaphoreType.DMA((7, 2))],
+        scratch_shapes=[pltpu.VMEM((3, TNW, DC), jnp.bfloat16)] * 6 +
+                       [pltpu.VMEM((3, TNW, 128), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((7, 3))],
     )
     kernel = functools.partial(_stats_bwd_kernel, TE=TE, TNW=TNW, DC=DC,
                                N=N, NT=NT)
