@@ -3,9 +3,18 @@ permutations, dihedral pairs — padded static arrays for the OT conformer
 model (reference `commons/geomol_utils.py:22-124` + the per-dataset GeoMol
 featurization in `datasets/file_loader_qm9.py`).
 
-Ring handling: the reference prioritizes ring bonds via networkx cycle_basis
-(get_dihedral_pairs); we reproduce that with networkx when a molecule has
-cycles.
+Ring handling: reference-exact `get_dihedral_pairs` semantics
+(`commons/geomol_utils.py:74-124` + `commons/cycle_utils.py:12-32`):
+candidate bonds (both endpoints degree > 1, start < end, edge order) are
+walked in order; when both endpoints sit in a not-yet-consumed
+`nx.cycle_basis` cycle, the candidate itself is DROPPED and the cycle's
+edges are emitted as directed consecutive pairs starting from the first
+endpoint all the way around (the cycle is popped — each basis cycle fires
+once); when only the second endpoint is in a remaining cycle, the pair is
+kept and that cycle's run is appended after it.  An undirected
+already-emitted check (`sorted_keep`) suppresses later candidates that a
+cycle run covered, but cycle runs themselves are emitted unconditionally —
+fused rings therefore repeat their shared bond, exactly like upstream.
 """
 from __future__ import annotations
 
@@ -16,6 +25,74 @@ import numpy as np
 
 MAX_NEIGHBORS = 4
 N_PERMS = 6  # up to 3 symmetric leaf hydrogens -> 3! permutations
+
+
+def _cycle_run(cycle: List[int], start: int) -> List[List[int]]:
+    """Directed consecutive edge pairs of `cycle` rotated to start at
+    `start`, all the way around (k pairs for a k-cycle) — the exact output
+    of reference `cycle_utils.get_cycle_indices` (`cycle_utils.py:12-25`)."""
+    i = cycle.index(start)
+    k = len(cycle)
+    order = [cycle[(i + j) % k] for j in range(k)] + [start]
+    return [[order[j], order[j + 1]] for j in range(k)]
+
+
+def _pop_cycle_run(cycles: List[List[int]], idx: int) -> List[List[int]]:
+    """Pop the FIRST remaining cycle containing `idx` and return its edge
+    run starting from `idx` (reference `get_current_cycle_indices`,
+    `cycle_utils.py:28-32` — note the cycle is consumed)."""
+    c_i = next(i for i, c in enumerate(cycles) if idx in c)
+    return _cycle_run(cycles.pop(c_i), idx)
+
+
+def _get_dihedral_pairs(senders, receivers, degree, n: int) -> np.ndarray:
+    """Reference-exact `get_dihedral_pairs` (`commons/geomol_utils.py:74-124`).
+
+    Candidates: directed edges with both endpoint degrees > 1, kept where
+    start < end, in edge order.  Ring prioritization walks candidates and
+    substitutes/extends with `nx.cycle_basis` edge runs (see module
+    docstring for the full quirk list).  Falls back to the plain candidate
+    list when networkx is unavailable (documented deviation — networkx is
+    pure Python and present in the supported environment).
+    """
+    pairs = [(int(s), int(r)) for s, r in zip(senders, receivers)
+             if degree[int(s)] > 1 and degree[int(r)] > 1 and int(s) < int(r)]
+    try:
+        import networkx as nx
+        # byte-identical graph construction to the reference:
+        # tg.utils.to_networkx(data) builds a DiGraph over range(n) with
+        # edge_index-ordered edges, then nx.to_undirected merges — the
+        # adjacency ITERATION ORDER this produces decides cycle_basis's
+        # cycle orientation, so a direct nx.Graph would reorder pairs
+        G = nx.DiGraph()
+        G.add_nodes_from(range(n))
+        G.add_edges_from(zip(map(int, senders), map(int, receivers)))
+        cycles = [list(c) for c in nx.cycle_basis(nx.to_undirected(G))]
+    except ImportError:
+        return np.asarray(pairs, np.int32).reshape(-1, 2)
+
+    keep: List[List[int]] = []
+    sorted_keep: List[List[int]] = []
+    for x, y in pairs:
+        if sorted((x, y)) in sorted_keep:
+            continue
+        x_in = any(x in c for c in cycles)
+        y_in = any(y in c for c in cycles)
+        if x_in and y_in:
+            # both endpoints in remaining cycles: the pair itself is
+            # dropped; x's cycle run is emitted (geomol_utils.py:105-110)
+            run = _pop_cycle_run(cycles, x)
+            keep.extend(run)
+            sorted_keep.extend(sorted(c) for c in run)
+        elif y_in:
+            run = _pop_cycle_run(cycles, y)
+            keep.append([x, y])
+            keep.extend(run)
+            sorted_keep.append(sorted((x, y)))
+            sorted_keep.extend(sorted(c) for c in run)
+        else:
+            keep.append([x, y])
+    return np.asarray(keep, np.int32).reshape(-1, 2)
 
 
 def geomol_featurize(graph: Dict[str, np.ndarray],
@@ -75,34 +152,7 @@ def geomol_featurize(graph: Dict[str, np.ndarray],
                 perms[pi] = row
         nbh_perms[i] = perms
 
-    # dihedral pairs: bonds with both endpoints degree > 1, one direction,
-    # ring-prioritized like the reference when cycles exist
-    seen = set()
-    dp: List[List[int]] = []
-    candidates = []
-    for s, r in zip(senders, receivers):
-        s, r = int(s), int(r)
-        if degree[s] > 1 and degree[r] > 1 and s < r:
-            if (s, r) not in seen:
-                seen.add((s, r))
-                candidates.append((s, r))
-    try:
-        import networkx as nx
-        G = nx.Graph()
-        G.add_nodes_from(range(n))
-        G.add_edges_from(candidates)
-        cycles = nx.cycle_basis(G)
-    except ImportError:
-        cycles = []
-    used = set()
-    for s, r in candidates:
-        in_cycle = any(s in c and r in c for c in cycles)
-        key = (s, r)
-        if key in used:
-            continue
-        used.add(key)
-        dp.append([s, r])
-    dp_arr = np.asarray(dp, np.int32).reshape(-1, 2)
+    dp_arr = _get_dihedral_pairs(senders, receivers, degree, n)
 
     p = len(dp_arr)
     x_map = np.zeros((p, MAX_NEIGHBORS), np.float32)

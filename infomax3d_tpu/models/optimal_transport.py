@@ -8,7 +8,9 @@ TPU-native re-design highlights:
   [n_true, n_model, batch] cost tensor,
 * neighborhoods / hydrogen permutations / dihedral-pair slot maps are padded
   host-side index arrays (`data/geomol_featurize.py`) — no python loops in
-  the model,
+  the model; the dihedral-pair set is reference-exact including the
+  cycle_basis ring prioritization (golden vs the mounted reference in
+  `tests/test_dihedral_pairs_golden.py`),
 * randomness (conformer noise, frame auxiliary vectors, random alpha) is an
   explicit 'random' rng collection,
 * the exact-EMD plan (reference uses POT's ot.emd on the DETACHED cost) is
