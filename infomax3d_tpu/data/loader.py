@@ -622,7 +622,18 @@ class GraphDataLoader:
                                 self._shard_bucket(bucket),
                                 **self._shard_kwargs())
                    for s in range(self.n_shards)]
-            yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *sub)
+
+            def _stack(*xs):
+                # Pallas window markers (1-D int8, shape IS the value) may
+                # differ per shard; a wider window is always valid, so pad
+                # every shard to the max before stacking
+                if (xs[0].ndim == 1 and xs[0].dtype == np.int8
+                        and len({x.shape[0] for x in xs}) > 1):
+                    m = max(x.shape[0] for x in xs)
+                    xs = [np.zeros(m, np.int8) for _ in xs]
+                return np.stack(xs)
+
+            yield jax.tree_util.tree_map(_stack, *sub)
 
     def __iter__(self):
         if self.prefetch <= 0:

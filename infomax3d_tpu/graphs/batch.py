@@ -255,6 +255,13 @@ def batch_graphs(
                       - row_ptr[tile_starts])
         win = max(128, int(np.ceil((int(tile_edges.max()) + 8) / 128)) * 128)
         out["csr_tile_win"] = np.zeros(win, np.int8)
+        # same measurement over the CSC (sender-sorted) order — sizes the
+        # Pallas seg-sum backward window of the SENDER gathers
+        csc_tile_edges = (csc_ptr[np.minimum(tile_starts + CSR_TILE_N, N)]
+                          - csc_ptr[tile_starts])
+        cwin = max(128,
+                   int(np.ceil((int(csc_tile_edges.max()) + 8) / 128)) * 128)
+        out["csc_tile_win"] = np.zeros(cwin, np.int8)
         # backward-kernel node window: max receiver span under any TILE_E
         # consecutive REAL edges (receivers ascend; padding sorts last)
         from infomax3d_tpu.ops.pallas.spmm import CSR_TILE_E
@@ -315,7 +322,7 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
               "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csr_tile_win", "csr_bwd_span",
-              "csc_perm", "csc_row_ptr", "rd_node_idx", "rd_inv_flat",
+              "csc_perm", "csc_row_ptr", "csc_tile_win", "rd_node_idx", "rd_inv_flat",
               "in_degree"):
         if k in arrays:
             extras[k] = jnp.asarray(arrays[k])

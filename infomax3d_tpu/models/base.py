@@ -145,6 +145,8 @@ class GatherPart(NamedTuple):
     indices_sorted: bool = False
     row_ptr: Optional[jnp.ndarray] = None
     perm: Optional[jnp.ndarray] = None
+    max_deg: int = 0        # static; >0 enables the Pallas seg-sum backward
+    tile_win: int = 0       # static compacted window (batcher-measured)
 
 
 class ScaledPart(NamedTuple):
@@ -183,7 +185,7 @@ class SplitDense(nn.Module):
             if isinstance(p, GatherPart):
                 from infomax3d_tpu.ops.segment import take_rows
                 t = take_rows(p.nodes @ k, p.idx, p.indices_sorted, p.row_ptr,
-                              p.perm)
+                              p.perm, p.max_deg, p.tile_win)
             elif isinstance(p, ScaledPart):
                 t = p.row_scale * (p.x @ k)
             elif isinstance(p, tuple):

@@ -147,6 +147,11 @@ def pack_batch_native(graphs: Sequence[Dict[str, np.ndarray]], bucket,
                       - csr_row_ptr[tile_starts])
         win = max(128, int(np.ceil((int(tile_edges.max()) + 8) / 128)) * 128)
         out["csr_tile_win"] = np.zeros(win, np.int8)
+        csc_tile_edges = (csc_row_ptr[np.minimum(tile_starts + CSR_TILE_N, N)]
+                          - csc_row_ptr[tile_starts])
+        cwin = max(128,
+                   int(np.ceil((int(csc_tile_edges.max()) + 8) / 128)) * 128)
+        out["csc_tile_win"] = np.zeros(cwin, np.int8)
         from infomax3d_tpu.ops.pallas.spmm import CSR_TILE_E
         recv_sorted = out["receivers"]
         e_real = int(csr_row_ptr[-1])

@@ -292,8 +292,11 @@ def gather_src(g, h):
                             g.extras["mb_out_slot"])
     if has_csr(g):
         from infomax3d_tpu.ops.segment import take_rows
+        cw = g.extras.get("csc_tile_win")
         return take_rows(h, g.senders, False,
-                         g.extras["csc_row_ptr"], g.extras["csc_perm"])
+                         g.extras["csc_row_ptr"], g.extras["csc_perm"],
+                         g.extras["mb_in_edges"].shape[1],
+                         0 if cw is None else cw.shape[0])
     return jnp.take(h, g.senders.clip(0, g.num_nodes - 1), axis=0)
 
 
@@ -302,8 +305,11 @@ def gather_dst(g, h):
         return gather_nodes(h, g.receivers, g.extras["mb_in_edges"],
                             g.extras["mb_edge_slot"])
     if has_csr(g):
-        # receiver-sorted edges: backward = sorted_segment_sum (the MXU
-        # triangular prefix sum), no scatter
+        # receiver-sorted edges: backward = Pallas incidence seg-sum (bf16)
+        # or sorted_segment_sum (the MXU triangular prefix sum), no scatter
         from infomax3d_tpu.ops.segment import take_rows
-        return take_rows(h, g.receivers, True, g.extras["csr_row_ptr"])
+        tw = g.extras.get("csr_tile_win")
+        return take_rows(h, g.receivers, True, g.extras["csr_row_ptr"],
+                         None, g.extras["mb_in_edges"].shape[1],
+                         0 if tw is None else tw.shape[0])
     return jnp.take(h, g.receivers.clip(0, g.num_nodes - 1), axis=0)

@@ -684,6 +684,104 @@ def _stats_bwd(max_deg, interpret, tile_win, bwd_span, res, cots):
 csr_pna_stats.defvjp(_stats_fwd, _stats_bwd)
 
 
+def _seg_sum_kernel(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, out_ref,
+                    win_ref, sems, *, TN, DC, WIN, E, NT):
+    """Pipelined bf16 CSR segment-sum: the gather-backward kernel.
+
+    Same structure as `_stats_kernel` (vector row_ptr loads, 4-deep window
+    DMA pipeline) with ONE incidence matmul and one output — replaces the
+    `sorted_segment_sum` MXU prefix-sum backward of `ops.segment.take_rows`,
+    which materializes an f32 [E, D] prefix (14.7 MB at bench shapes) plus
+    two boundary gathers per call (2 x 26 us measured on v5e); here the f32
+    accumulation lives in-register and only the [N, D] result is written."""
+    i = pl.program_id(0)
+
+    def dma(slot, tile):
+        base = jnp.minimum(row_ptr_ref[tile * TN], E - WIN)
+        base = pl.multiple_of((base // 8) * 8, 8)
+        return pltpu.make_async_copy(
+            msg_hbm.at[pl.ds(base, WIN), :], win_ref.at[slot], sems.at[slot])
+
+    NSLOT = 4
+    slot = jax.lax.rem(i, NSLOT)
+
+    @pl.when(i == 0)
+    def _():
+        for a in range(NSLOT - 1):
+            if a < NT:
+                dma(a, a).start()
+
+    @pl.when(i + NSLOT - 1 < NT)
+    def _():
+        dma(jax.lax.rem(i + NSLOT - 1, NSLOT), i + NSLOT - 1).start()
+
+    n0 = i * TN
+    base = jnp.minimum(row_ptr_ref[n0], E - WIN)
+    base = pl.multiple_of((base // 8) * 8, 8)
+    starts = rp_lo_ref[:] - base                               # [TN, 1]
+    ends = rp_hi_ref[:] - base
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (TN, WIN), 1)
+    inc = ((eidx >= starts) & (eidx < ends)).astype(jnp.bfloat16)
+
+    dma(slot, i).wait()
+    # 0/1 incidence is exact in bf16; one DEFAULT pass accumulates in f32
+    s1 = jnp.dot(inc, win_ref[slot], preferred_element_type=jnp.float32)
+    out_ref[:] = s1.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _csr_seg_sum_raw(messages, row_ptr, max_deg: int, interpret: bool,
+                     tile_win: int = 0):
+    """bf16 [E, D] -> [N, D] segment sum over CSR-sorted rows (D <= 512)."""
+    E, D = messages.shape
+    N = row_ptr.shape[0] - 1
+    TN = CSR_TILE_N
+    DC = ((D + 127) // 128) * 128
+    WIN = tile_win if tile_win else \
+        max(((TN * max_deg + 8 + 127) // 128) * 128, 128)
+    if D % DC:
+        messages = jnp.pad(messages, ((0, 0), (0, DC - D % DC)))
+    pad_rows = max(WIN - E, 0)
+    if (E + pad_rows) % 8:
+        pad_rows += 8 - (E + pad_rows) % 8
+    if pad_rows:
+        messages = jnp.pad(messages, ((0, pad_rows), (0, 0)))
+    Ep = messages.shape[0]
+    if N % TN:
+        row_ptr = jnp.concatenate(
+            [row_ptr, jnp.full(TN - N % TN, row_ptr[-1], row_ptr.dtype)])
+    Np = row_ptr.shape[0] - 1
+    NT = Np // TN
+
+    out_spec = pl.BlockSpec((TN, DC), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    rp_lo = row_ptr[:-1].reshape(Np, 1)
+    rp_hi = row_ptr[1:].reshape(Np, 1)
+    rp_spec = pl.BlockSpec((TN, 1), lambda i, *_: (i, 0),
+                           memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NT,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), rp_spec, rp_spec],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((4, WIN, DC), messages.dtype),
+                        pltpu.SemaphoreType.DMA((4,))],
+    )
+    kernel = functools.partial(_seg_sum_kernel, TN=TN, DC=DC, WIN=WIN,
+                               E=Ep, NT=NT)
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((Np, DC), jnp.bfloat16),
+        grid_spec=grid_spec, interpret=interpret)(row_ptr, messages,
+                                                  rp_lo, rp_hi)
+    return out[:N, :D]
+
+
+def csr_segment_sum_bf16(ct, row_ptr, max_deg: int, tile_win: int = 0,
+                         interpret: bool = False):
+    """Public entry for the gather-backward segment sum (bf16 only)."""
+    return _csr_seg_sum_raw(ct, row_ptr, max_deg, interpret, tile_win)
+
+
 def _sum_kernel(row_ptr_ref, msg_hbm, sum_ref, win_ref, sem,
                 *, TN, DC, WIN, E, exact=True):
     i = pl.program_id(0)

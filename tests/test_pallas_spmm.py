@@ -294,3 +294,47 @@ def test_stats_bwd_kernel_interpret_parity(rng):
 
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(want, np.float32))
+
+
+def test_seg_sum_kernel_interpret_parity(rng):
+    """csr_segment_sum_bf16 (the take_rows Pallas backward) == XLA
+    segment_sum over CSR-sorted rows, incl. padding rows past row_ptr[-1]
+    and the compacted tile window."""
+    import jax.numpy as jnp
+
+    from infomax3d_tpu.data.synthetic import SyntheticMolecules
+    from infomax3d_tpu.graphs.batch import (BucketSpec, batch_graphs,
+                                            to_graph_batch)
+    from infomax3d_tpu.ops.pallas.spmm import csr_segment_sum_bf16
+
+    ds = SyntheticMolecules(24, seed=7, n_min=4, n_max=18)
+    mols = [ds.graph2d(i) for i in range(24)]
+    maxdeg = max(int(np.bincount(m["receivers"]).max()) for m in mols)
+    n_tot = sum(m["node_feat"].shape[0] for m in mols)
+    e_tot = sum(m["senders"].shape[0] for m in mols)
+    g = to_graph_batch(batch_graphs(mols, BucketSpec(
+        24, n_tot + 24, e_tot + 40, max_deg=maxdeg, csr=True)))
+    rp = g.extras["csr_row_ptr"]
+    N = g.num_nodes
+    E = g.senders.shape[0]
+    ct = jnp.asarray(rng.normal(size=(E, 72)).astype(np.float32),
+                     jnp.bfloat16)
+    for tw in (0, g.extras["csr_tile_win"].shape[0]):
+        got = csr_segment_sum_bf16(ct, rp, maxdeg, tw, interpret=True)
+        ref = jax.ops.segment_sum(
+            ct.astype(jnp.float32),
+            np.minimum(np.asarray(g.receivers), N),  # pad rows -> dropped
+            num_segments=N + 1)[:N].astype(jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
+    # CSC side: sender-sorted permutation + csc_row_ptr
+    perm = g.extras["csc_perm"]
+    cp = g.extras["csc_row_ptr"]
+    cw = g.extras["csc_tile_win"].shape[0]
+    got = csr_segment_sum_bf16(jnp.take(ct, perm, axis=0), cp, maxdeg, cw,
+                               interpret=True)
+    ref = jax.ops.segment_sum(
+        ct.astype(jnp.float32), np.minimum(np.asarray(g.senders), N),
+        num_segments=N + 1)[:N].astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(ref, np.float32))
