@@ -50,8 +50,11 @@ CSR_TILE_N = 64
 
 # edge-block width of the Pallas stats BACKWARD kernel; the batcher
 # publishes the max receiver-node span under any TILE_E consecutive edges
-# (csr_bwd_span) so the kernel's node-window DMA is sized to reality
-CSR_TILE_E = 256
+# (csr_bwd_span) so the kernel's node-window DMA is sized to reality.
+# 128 (was 256): the kernel's one-hot broadcast matmul costs E*TNW*PW MXU
+# flops and TNW (the node span) shrinks with the edge-block height — at
+# molecular degree ~2 halving TE halves both the matmul and the window DMA
+CSR_TILE_E = 128
 
 
 def _kernel(row_ptr_ref, msg_hbm, sum_ref, sumsq_ref, max_ref,
@@ -231,13 +234,15 @@ def preflight_stats_kernel() -> bool:
     return _STATS_KERNEL_OK
 
 
-def _use_stats_kernel(messages) -> bool:
+def _use_stats_kernel(messages, max_deg: int = 0) -> bool:
     """bf16 fused-stats dispatch gate; INFOMAX3D_STATS_KERNEL=0 falls back
     to the f32 csr_multi_reduce path (A/B runs, escape hatch).  The Mosaic
     preflight gate only applies when INFOMAX3D_STATS_IMPL=pallas — the
     default mailbox forward is pure XLA and cannot be rejected."""
     import os
     if os.environ.get("INFOMAX3D_STATS_KERNEL", "1") == "0":
+        return False
+    if max_deg > 16:        # winner-slot enc packs amax + 16*amin
         return False
     if messages.dtype != jnp.bfloat16:
         return False
@@ -250,7 +255,8 @@ def _stats_outs(messages, row_ptr, receivers, max_deg, aggregators, has,
                 interpret, tile_win=0, bwd_span=0):
     s1, mean, std, mx, mn = csr_pna_stats(messages, row_ptr, receivers,
                                           max_deg, interpret, tile_win,
-                                          bwd_span)
+                                          bwd_span,
+                                          "sum" in aggregators)
     outs = {}
     for a in aggregators:
         if a == "sum":
@@ -308,7 +314,7 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
     deg_safe = jnp.maximum(deg, 1.0)
     has = deg > 0
     outs = {}
-    if _use_stats_kernel(messages):
+    if _use_stats_kernel(messages, max_deg):
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
                            aggregators, has, interpret, tile_win, bwd_span)
     else:
@@ -350,7 +356,7 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
     deg_safe = jnp.maximum(deg, 1.0)
     has = deg > 0
     outs = {}
-    if _use_stats_kernel(messages):
+    if _use_stats_kernel(messages, max_deg):
         # bf16 fast path: the fused-stats kernel emits the final aggregates
         # directly (no node-side f32 mean/std chains, half the HBM writes,
         # double-buffered window DMA)
@@ -380,7 +386,7 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
 
 
 def _stats_kernel(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, out_ref,
-                  win_ref, sems, *, TN, DC, WIN, K, E, NT):
+                  win_ref, sems, *, TN, DC, WIN, K, E, NT, want_sum):
     """bf16 fused-stats variant: emits the FINAL PNA aggregates
     (sum, mean, std, max, min) in bf16 — the mean/std node-side chains the
     f32 kernel leaves to XLA (7 layers x ~0.15 ms of [N, D] f32 elementwise)
@@ -469,27 +475,37 @@ def _stats_kernel(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, out_ref,
     var = jax.nn.relu(s2 / deg_safe - mean * mean)
     std = jnp.sqrt(var + EPS)
     zero = jnp.zeros((), jnp.float32)
-    # ONE fat output block: 7 separate outputs cost 7 pipelined output-DMA
-    # issues per tile (~1.6 us/tile of fixed overhead — the kernel's actual
-    # bound at molecular sizes, not the MXU); sections at 256-aligned lane
-    # offsets are free to write and free for consumers to slice
-    out_ref[:, 0 * DC:1 * DC] = s1.astype(jnp.bfloat16)
-    out_ref[:, 1 * DC:2 * DC] = jnp.where(has, mean, zero).astype(jnp.bfloat16)
-    out_ref[:, 2 * DC:3 * DC] = jnp.where(has, std, zero).astype(jnp.bfloat16)
-    out_ref[:, 3 * DC:4 * DC] = jnp.where(has, run_max,
-                                          zero).astype(jnp.bfloat16)
-    out_ref[:, 4 * DC:5 * DC] = jnp.where(has, run_min,
-                                          zero).astype(jnp.bfloat16)
-    out_ref[:, 5 * DC:6 * DC] = amax.astype(jnp.bfloat16)
-    out_ref[:, 6 * DC:7 * DC] = amin.astype(jnp.bfloat16)
+    # ONE fat output block: separate outputs cost one pipelined output-DMA
+    # issue each per tile (~1.6 us/tile of fixed overhead — the kernel's
+    # actual bound at molecular sizes, not the MXU); sections at DC-aligned
+    # lane offsets are free to write and free for consumers to slice.
+    # `sum` is emitted only when an aggregator wants it (the flagship PNA
+    # config uses mean/max/min/std — skipping sum cuts output HBM 1/7) and
+    # the winner slots pack into ONE `enc` section (amax + 16*amin, exact
+    # in bf16 for K <= 16) consumed only by the backward.
+    o = 0
+    if want_sum:
+        out_ref[:, 0 * DC:1 * DC] = s1.astype(jnp.bfloat16)
+        o = 1
+    out_ref[:, (o + 0) * DC:(o + 1) * DC] = \
+        jnp.where(has, mean, zero).astype(jnp.bfloat16)
+    out_ref[:, (o + 1) * DC:(o + 2) * DC] = \
+        jnp.where(has, std, zero).astype(jnp.bfloat16)
+    out_ref[:, (o + 2) * DC:(o + 3) * DC] = \
+        jnp.where(has, run_max, zero).astype(jnp.bfloat16)
+    out_ref[:, (o + 3) * DC:(o + 4) * DC] = \
+        jnp.where(has, run_min, zero).astype(jnp.bfloat16)
+    out_ref[:, (o + 4) * DC:(o + 5) * DC] = \
+        (amax + 16.0 * amin).astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool,
-                   tile_win: int = 0):
-    """Returns (sum, mean, std, max, min, argmax_slot, argmin_slot), each
-    bf16 [N, D].  bf16 messages only; D <= 512 (the double-buffered window
-    must fit one DC chunk).
+                   tile_win: int = 0, want_sum: bool = True):
+    """Returns (sum | None, mean, std, max, min, enc), each bf16 [N, D]
+    (`enc` = argmax_slot + 16*argmin_slot, exact for max_deg <= 16).
+    bf16 messages only; D <= 512 (the double-buffered window must fit one
+    DC chunk).
 
     `tile_win` (from the batcher's per-tile edge-count measurement,
     graphs/batch.py) compacts the DMA/incidence window: every MXU pass
@@ -516,8 +532,9 @@ def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool,
     Np = row_ptr.shape[0] - 1
     NT = Np // TN
 
-    out_shape = jax.ShapeDtypeStruct((Np, 7 * DC), jnp.bfloat16)
-    out_spec = pl.BlockSpec((TN, 7 * DC), lambda i, *_: (i, 0),
+    NSEC = 6 if want_sum else 5
+    out_shape = jax.ShapeDtypeStruct((Np, NSEC * DC), jnp.bfloat16)
+    out_spec = pl.BlockSpec((TN, NSEC * DC), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     rp_lo = row_ptr[:-1].reshape(Np, 1)
     rp_hi = row_ptr[1:].reshape(Np, 1)
@@ -532,15 +549,17 @@ def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool,
                         pltpu.SemaphoreType.DMA((4,))],
     )
     kernel = functools.partial(_stats_kernel, TN=TN, DC=DC, WIN=WIN,
-                               K=max_deg, E=Ep, NT=NT)
+                               K=max_deg, E=Ep, NT=NT, want_sum=want_sum)
     fat = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
                          interpret=interpret)(row_ptr, messages, rp_lo,
                                               rp_hi)
-    return tuple(fat[:N, k * DC:k * DC + D] for k in range(7))
+    secs = tuple(fat[:N, k * DC:k * DC + D] for k in range(NSEC))
+    return (secs if want_sum else (None,) + secs)
 
 
 def _csr_stats_mailbox_raw(messages, row_ptr, max_deg: int):
-    """Mailbox-gather stats forward: same 7 outputs as `_csr_stats_raw`.
+    """Mailbox-gather stats forward: same outputs as `_csr_stats_raw`
+    (sum always present here — it falls out of the reduction for free).
 
     Every edge occupies exactly ONE slot of its receiver's CSR range, so the
     dense mailbox [N, K, D] is a pure row-GATHER at indices
@@ -589,7 +608,7 @@ def _csr_stats_mailbox_raw(messages, row_ptr, max_deg: int):
             jnp.where(has, std, zero).astype(dt),
             jnp.where(has, run_max, zero).astype(dt),
             jnp.where(has, run_min, zero).astype(dt),
-            amax.astype(dt), amin.astype(dt))
+            (amax + 16.0 * amin).astype(dt))
 
 
 def _stats_impl() -> str:
@@ -602,35 +621,48 @@ def _stats_impl() -> str:
     return os.environ.get("INFOMAX3D_STATS_IMPL", "pallas")
 
 
-def _stats_raw_dispatch(messages, row_ptr, max_deg, interpret, tile_win=0):
+def _stats_raw_dispatch(messages, row_ptr, max_deg, interpret, tile_win=0,
+                        want_sum=True):
     if _stats_impl() == "pallas":
-        return _csr_stats_raw(messages, row_ptr, max_deg, interpret, tile_win)
+        return _csr_stats_raw(messages, row_ptr, max_deg, interpret,
+                              tile_win, want_sum)
     return _csr_stats_mailbox_raw(messages, row_ptr, max_deg)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def csr_pna_stats(messages, row_ptr, receivers, max_deg: int,
                   interpret: bool = False, tile_win: int = 0,
-                  bwd_span: int = 0):
+                  bwd_span: int = 0, want_sum: bool = True):
     """(sum, mean, std, max, min) — all bf16 — with an analytic bf16
     backward: d_msg = A[r] + B[r]*msg + eq_max*d_max[r] + eq_min*d_min[r]
     where A/B are cheap node-side combinations of the cotangents.  The relu
     gate on var needs no explicit mask in the backward: where var clamps,
-    (msg - mean) ~ 0 and the std term vanishes on its own."""
-    return _stats_raw_dispatch(messages, row_ptr, max_deg, interpret,
-                               tile_win)[:5]
+    (msg - mean) ~ 0 and the std term vanishes on its own.
+
+    With `want_sum=False` the kernel skips the sum output section; the
+    returned `sum` slot is then the reconstruction mean*deg (bf16-rounded —
+    only request it when no aggregator consumes sum)."""
+    s1, mean, std, mx, mn, _ = _stats_raw_dispatch(
+        messages, row_ptr, max_deg, interpret, tile_win, want_sum)
+    if s1 is None:
+        deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
+        s1 = (mean.astype(jnp.float32) * deg).astype(mean.dtype)
+    return s1, mean, std, mx, mn
 
 
 def _stats_fwd(messages, row_ptr, receivers, max_deg, interpret, tile_win=0,
-               bwd_span=0):
-    s1, mean, std, mx, mn, amax, amin = _stats_raw_dispatch(
-        messages, row_ptr, max_deg, interpret, tile_win)
+               bwd_span=0, want_sum=True):
+    s1, mean, std, mx, mn, enc = _stats_raw_dispatch(
+        messages, row_ptr, max_deg, interpret, tile_win, want_sum)
+    if s1 is None:
+        deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
+        s1 = (mean.astype(jnp.float32) * deg).astype(mean.dtype)
     return ((s1, mean, std, mx, mn),
-            (messages, receivers, row_ptr, mean, std, amax, amin))
+            (messages, receivers, row_ptr, mean, std, enc))
 
 
-def _stats_bwd(max_deg, interpret, tile_win, bwd_span, res, cots):
-    messages, receivers, row_ptr, mean, std, amax, amin = res
+def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
+    messages, receivers, row_ptr, mean, std, enc = res
     d_sum, d_mean, d_std, d_mx, d_mn = cots
     N = mean.shape[0]
     deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
@@ -648,33 +680,36 @@ def _stats_bwd(max_deg, interpret, tile_win, bwd_span, res, cots):
     D = messages.shape[1]
     if (bwd_span > 0 and dt == jnp.bfloat16 and not interpret
             and _stats_impl() == "pallas"):
-        # Pallas edge-block backward: same math, no [N,7D] concat and no
-        # [E,7D] gather materialization (node operands stream through
-        # per-block windows; the node->edge broadcast is one-hot matmuls)
+        # Pallas edge-block backward: same math, no [N,6D] concat gather
+        # materialization in edge space (node operands stream through ONE
+        # packed per-block window; the node->edge broadcast is a single
+        # one-hot MXU matmul)
         d_msg = _csr_stats_bwd_raw(
             messages, receivers, row_ptr,
-            (A.astype(dt), B.astype(dt), mean, d_mx.astype(dt), amax,
-             d_mn.astype(dt), amin), bwd_span, interpret)
+            (A.astype(dt), B.astype(dt), mean, d_mx.astype(dt),
+             d_mn.astype(dt), enc), bwd_span, interpret)
         return (d_msg, None, None)
     # TPU gathers are ROW-bound (~same cost at width 200 or 1400), so the
-    # seven node-side operands ride ONE wide gather: concat in node space
+    # six node-side operands ride ONE wide gather: concat in node space
     # (N rows, cheap) then take in edge space (E rows, the expensive part)
     packed = jnp.concatenate(
-        [A.astype(dt), B.astype(dt), mean, d_mx.astype(dt), amax,
-         d_mn.astype(dt), amin], axis=1)                       # [N, 7D]
+        [A.astype(dt), B.astype(dt), mean, d_mx.astype(dt),
+         d_mn.astype(dt), enc], axis=1)                        # [N, 6D]
     recv = receivers.clip(0, N - 1)
-    rows = jnp.take(packed, recv, axis=0)                      # [E, 7D]
-    Ae, Be, mean_e, dmx_e, amax_e, dmn_e, amin_e = [
-        jax.lax.dynamic_slice_in_dim(rows, k * D, D, axis=1) for k in range(7)]
+    rows = jnp.take(packed, recv, axis=0)                      # [E, 6D]
+    Ae, Be, mean_e, dmx_e, dmn_e, enc_e = [
+        jax.lax.dynamic_slice_in_dim(rows, k * D, D, axis=1) for k in range(6)]
+    enc_f = enc_e.astype(jnp.float32)
+    amin_e = jnp.floor(enc_f / 16.0)
+    amax_e = enc_f - 16.0 * amin_e
     d_msg = Ae + Be * (messages - mean_e)
     # single-winner extremum routing: the kernel recorded each node's
-    # argmax/argmin SLOT, and an edge's slot is its position within its
-    # node's CSR range — the cotangent goes to exactly one edge per node
-    # (the reference's torch/DGL argmax semantics; JAX's XLA segment_max
-    # would split evenly among ties instead)
+    # argmax/argmin SLOT (packed as enc = amax + 16*amin), and an edge's
+    # slot is its position within its node's CSR range — the cotangent goes
+    # to exactly one edge per node (the reference's torch/DGL argmax
+    # semantics; JAX's XLA segment_max would split evenly among ties)
     pos = (jnp.arange(receivers.shape[0], dtype=jnp.float32)
            - jnp.take(row_ptr, recv).astype(jnp.float32))[:, None]
-    pos = pos.astype(dt)
     d_msg = d_msg + dmx_e * (pos == amax_e)
     d_msg = d_msg + dmn_e * (pos == amin_e)
     valid = (receivers < N)[:, None]
@@ -868,23 +903,20 @@ def csr_mean(messages, row_ptr, receivers, max_deg: int, interpret=False):
     return (s1 / jnp.maximum(deg, 1.0)).astype(messages.dtype)
 
 
-def _stats_bwd_kernel(bns_ref, a_hbm, b_hbm, mean_hbm, dmx_hbm, dmn_hbm,
-                      enc_hbm, rp_hbm, msg_ref, recv_ref, out_ref,
-                      w_a, w_b, w_mean, w_dmx, w_dmn, w_enc, w_rp, sems,
-                      *, TE, TNW, DC, N, NT):
-    """Edge-block stats backward: one node-window DMA set per block, the
-    node->edge broadcast of every operand rides one-hot MXU matmuls — the
-    [N, 7D] concat and the [E, 7D] gather materialization of the XLA
-    backward (tens of MB per layer) never exist."""
+def _stats_bwd_kernel(bns_ref, ops_hbm, msg_ref, recv_ref, pos_ref, out_ref,
+                      w_ops, sems, *, TE, TNW, DC, N, NT):
+    """Edge-block stats backward: ONE packed node-window DMA per block, the
+    node->edge broadcast of all six operands rides a single one-hot MXU
+    matmul — the [N, 6D] gather materialization in edge space of the XLA
+    backward (tens of MB per layer) never exists.  The edge's slot within
+    its receiver's CSR range arrives as a per-edge input (`pos`), so no
+    row_ptr decoding happens in-kernel."""
     t = pl.program_id(0)
-    hbms = (a_hbm, b_hbm, mean_hbm, dmx_hbm, dmn_hbm, enc_hbm, rp_hbm)
-    wins = (w_a, w_b, w_mean, w_dmx, w_dmn, w_enc, w_rp)
 
-    def dma(which, slot, blk):
+    def dma(slot, blk):
         ns = pl.multiple_of((bns_ref[blk] // 8) * 8, 8)
         return pltpu.make_async_copy(
-            hbms[which].at[pl.ds(ns, TNW), :], wins[which].at[slot],
-            sems.at[which, slot])
+            ops_hbm.at[pl.ds(ns, TNW), :], w_ops.at[slot], sems.at[slot])
 
     # 3-deep operand-window pipeline (same rationale as the forward
     # kernel: block compute is shorter than DMA latency)
@@ -895,14 +927,11 @@ def _stats_bwd_kernel(bns_ref, a_hbm, b_hbm, mean_hbm, dmx_hbm, dmn_hbm,
     def _():
         for a in range(NSLOT - 1):
             if a < NT:
-                for which in range(7):
-                    dma(which, a, a).start()
+                dma(a, a).start()
 
     @pl.when(t + NSLOT - 1 < NT)
     def _():
-        nxt = jax.lax.rem(t + NSLOT - 1, NSLOT)
-        for which in range(7):
-            dma(which, nxt, t + NSLOT - 1).start()
+        dma(jax.lax.rem(t + NSLOT - 1, NSLOT), t + NSLOT - 1).start()
 
     ns = pl.multiple_of((bns_ref[t] // 8) * 8, 8)
     recv = recv_ref[:]                                        # [TE, 1] i32
@@ -910,26 +939,18 @@ def _stats_bwd_kernel(bns_ref, a_hbm, b_hbm, mean_hbm, dmx_hbm, dmn_hbm,
     lane = jax.lax.broadcasted_iota(jnp.int32, (TE, TNW), 1)
     inc = (lane == rel).astype(jnp.bfloat16)                  # [TE, TNW]
 
-    for which in range(7):
-        dma(which, slot, t).wait()
+    dma(slot, t).wait()
+    # exact bf16-value broadcast of ALL operands: one-hot rows, f32
+    # accumulation, one MXU pass over the packed [TNW, 6*DC] window
+    big = jnp.dot(inc, w_ops[slot], preferred_element_type=jnp.float32)
+    a_e = big[:, 0 * DC:1 * DC]
+    b_e = big[:, 1 * DC:2 * DC]
+    mean_e = big[:, 2 * DC:3 * DC]
+    dmx_e = big[:, 3 * DC:4 * DC]
+    dmn_e = big[:, 4 * DC:5 * DC]
+    enc_e = big[:, 5 * DC:6 * DC]
 
-    def bcast(which):
-        # exact bf16-value copy: one-hot rows, f32 accumulation
-        return jnp.dot(inc, wins[which][slot],
-                       preferred_element_type=jnp.float32)
-
-    a_e = bcast(0)
-    b_e = bcast(1)
-    mean_e = bcast(2)
-    dmx_e = bcast(3)
-    dmn_e = bcast(4)
-    enc_e = bcast(5)
-    rp_rows = bcast(6)                                        # [TE, 128]
-    rp_e = rp_rows[:, 0:1] * 128.0 + rp_rows[:, 1:2]          # [TE, 1]
-    eidx = (TE * t
-            + jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0)
-            ).astype(jnp.float32)
-    pos = eidx - rp_e                                         # slot of edge
+    pos = pos_ref[:].astype(jnp.float32)                      # [TE, 1]
     amin_e = jnp.floor(enc_e / 16.0)
     amax_e = enc_e - 16.0 * amin_e
 
@@ -944,32 +965,26 @@ def _stats_bwd_kernel(bns_ref, a_hbm, b_hbm, mean_hbm, dmx_hbm, dmn_hbm,
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
                        bwd_span: int, interpret: bool):
-    """operands = (A, B, mean, d_mx, amax, d_mn, amin) node-side bf16 [N, D]
-    (A/B already combined, see _stats_bwd).  Returns d_msg [E, D] bf16."""
+    """operands = (A, B, mean, d_mx, d_mn, enc) node-side bf16 [N, D]
+    (A/B already combined and enc = amax + 16*amin from the forward, see
+    _stats_bwd).  Returns d_msg [E, D] bf16."""
     E, D = messages.shape
     N = row_ptr.shape[0] - 1
     TE = CSR_TILE_E
     TNW = bwd_span
     DC = ((D + 127) // 128) * 128
-    A, Bc, mean, d_mx, amax, d_mn, amin = operands
-    # encode both winner slots in one operand column block (slots < 16)
-    enc = (amax.astype(jnp.float32)
-           + 16.0 * amin.astype(jnp.float32)).astype(jnp.bfloat16)
-    # row_ptr as two exact-bf16 columns (values < 128 each)
-    rp = row_ptr[:-1].astype(jnp.int32)
-    rp_hi = (rp // 128).astype(jnp.bfloat16)
-    rp_lo = (rp % 128).astype(jnp.bfloat16)
-    rp_cols = jnp.zeros((N, 128), jnp.bfloat16)
-    rp_cols = rp_cols.at[:, 0].set(rp_hi).at[:, 1].set(rp_lo)
 
-    def prep(x):
+    def lane_pad(x):
         x = x.astype(jnp.bfloat16)
         if x.shape[1] < DC:
             x = jnp.pad(x, ((0, 0), (0, DC - x.shape[1])))
-        return jnp.pad(x, ((0, TNW), (0, 0)))                 # window slack
+        return x
 
-    node_ops = [prep(A), prep(Bc), prep(mean), prep(d_mx), prep(d_mn),
-                prep(enc), jnp.pad(rp_cols, ((0, TNW), (0, 0)))]
+    # ONE packed operand array: a node-space concat (N rows, cheap) buys a
+    # single window DMA stream per block instead of 7 (the per-block DMA
+    # issue overhead dominated at molecular block sizes)
+    packed = jnp.concatenate([lane_pad(x) for x in operands], axis=1)
+    packed = jnp.pad(packed, ((0, TNW), (0, 0)))              # window slack
 
     NT = (E + TE - 1) // TE
     Ep = NT * TE
@@ -980,6 +995,12 @@ def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
         msg_p = jnp.pad(msg_p, ((0, Ep - E), (0, 0)))
     recv_p = jnp.pad(receivers.astype(jnp.int32), (0, Ep - E),
                      constant_values=-1).reshape(Ep, 1)
+    # per-edge slot within its receiver's CSR range (values < max_deg <= 16,
+    # exact in bf16); padding rows get slot -1 (matches nothing)
+    pos = (jnp.arange(E, dtype=jnp.float32)
+           - jnp.take(row_ptr, receivers.clip(0, N - 1)).astype(jnp.float32))
+    pos = jnp.pad(pos.astype(jnp.bfloat16), (0, Ep - E),
+                  constant_values=-1.0).reshape(Ep, 1)
     bns = jnp.clip(
         jnp.searchsorted(row_ptr, jnp.arange(NT, dtype=row_ptr.dtype) * TE,
                          side="right").astype(jnp.int32) - 1, 0, N - 1)
@@ -987,21 +1008,22 @@ def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NT,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7 +
-                 [pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TE, 1), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((TE, 1), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((3, TNW, DC), jnp.bfloat16)] * 6 +
-                       [pltpu.VMEM((3, TNW, 128), jnp.bfloat16),
-                        pltpu.SemaphoreType.DMA((7, 3))],
+        scratch_shapes=[pltpu.VMEM((3, TNW, 6 * DC), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((3,))],
     )
     kernel = functools.partial(_stats_bwd_kernel, TE=TE, TNW=TNW, DC=DC,
                                N=N, NT=NT)
     out = pl.pallas_call(
         kernel, out_shape=jax.ShapeDtypeStruct((Ep, DC), jnp.bfloat16),
         grid_spec=grid_spec, interpret=interpret)(
-        bns, *node_ops, msg_p, recv_p)
+        bns, packed, msg_p, recv_p, pos)
     return out[:E, :D]

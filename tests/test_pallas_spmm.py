@@ -259,7 +259,7 @@ def test_stats_bwd_kernel_interpret_parity(rng):
     msgs = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32),
                        jnp.bfloat16)
     # forward residuals via the mailbox reference impl
-    s1, mean, std, mx, mn, amax, amin = spmm._csr_stats_mailbox_raw(
+    s1, mean, std, mx, mn, enc = spmm._csr_stats_mailbox_raw(
         msgs, rp, maxdeg)
     cts = [jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
            for _ in range(5)]
@@ -271,19 +271,21 @@ def test_stats_bwd_kernel_interpret_parity(rng):
     A = (d_sum.astype(jnp.float32)
          + d_mean.astype(jnp.float32) * inv).astype(jnp.bfloat16)
     got = spmm._csr_stats_bwd_raw(
-        msgs, g.receivers, rp, (A, B, mean, d_mx, amax, d_mn, amin),
+        msgs, g.receivers, rp, (A, B, mean, d_mx, d_mn, enc),
         bs, True)
 
     # reference: the same gather formula in an f32 chain with ONE final
     # bf16 cast — the kernel's arithmetic (on v5e hardware the XLA gather
     # backward matches it bit-exactly too, via excess-precision fusions;
     # CPU's strict per-op bf16 rounding would differ at the last bit)
-    packed = jnp.concatenate([A, B, mean, d_mx, amax, d_mn, amin], axis=1)
+    packed = jnp.concatenate([A, B, mean, d_mx, d_mn, enc], axis=1)
     recv = g.receivers.clip(0, N - 1)
     rows = jnp.take(packed, recv, axis=0).astype(jnp.float32)
-    Ae, Be, mean_e, dmx_e, amax_e, dmn_e, amin_e = [
+    Ae, Be, mean_e, dmx_e, dmn_e, enc_e = [
         jax.lax.dynamic_slice_in_dim(rows, k * D, D, axis=1)
-        for k in range(7)]
+        for k in range(6)]
+    amin_e = jnp.floor(enc_e / 16.0)
+    amax_e = enc_e - 16.0 * amin_e
     d_msg = Ae + Be * (msgs.astype(jnp.float32) - mean_e)
     pos = (jnp.arange(E, dtype=jnp.float32)
            - jnp.take(rp, recv).astype(jnp.float32))[:, None]
