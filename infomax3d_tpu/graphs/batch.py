@@ -272,6 +272,20 @@ def batch_graphs(
             spans.append(int(receivers[en - 1]) - int(receivers[st]) + 1)
         bspan = max(128, int(np.ceil((max(spans) + 16) / 128)) * 128)
         out["csr_bwd_span"] = np.zeros(bspan, np.int8)
+        # combine-kernel node window: max span of touched nodes (receivers
+        # AND senders) under any TILE_E consecutive real edges — sizes the
+        # fused edge-combine kernel's packed window (ops/pallas/spmm.py::
+        # csr_edge_combine)
+        cspans = [1]
+        for st in range(0, e_real, CSR_TILE_E):
+            en = min(st + CSR_TILE_E, e_real)
+            touched_lo = min(int(receivers[st:en].min()),
+                             int(senders[st:en].min()))
+            touched_hi = max(int(receivers[st:en].max()),
+                             int(senders[st:en].max()))
+            cspans.append(touched_hi - touched_lo + 1)
+        cspan = max(128, int(np.ceil((max(cspans) + 16) / 128)) * 128)
+        out["csr_cmb_span"] = np.zeros(cspan, np.int8)
 
     if bucket.max_deg > 0:
         from infomax3d_tpu.ops.mailbox import build_mailbox
@@ -322,7 +336,8 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
               "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csr_tile_win", "csr_bwd_span",
-              "csc_perm", "csc_row_ptr", "csc_tile_win", "rd_node_idx", "rd_inv_flat",
+              "csc_perm", "csc_row_ptr", "csc_tile_win", "csr_cmb_span",
+              "rd_node_idx", "rd_inv_flat",
               "in_degree"):
         if k in arrays:
             extras[k] = jnp.asarray(arrays[k])

@@ -147,6 +147,9 @@ class GatherPart(NamedTuple):
     perm: Optional[jnp.ndarray] = None
     max_deg: int = 0        # static; >0 enables the Pallas seg-sum backward
     tile_win: int = 0       # static compacted window (batcher-measured)
+    cmb_span: int = 0       # static; >0 enables the fused edge-combine
+                            # kernel when a src+dst GatherPart pair meets
+                            # in one SplitDense (csr_cmb_span marker)
 
 
 class ScaledPart(NamedTuple):
@@ -177,28 +180,116 @@ class SplitDense(nn.Module):
         in_total = sum(_dim(p) for p in parts)
         kernel = self.param("kernel", self.kernel_init,
                             (in_total, self.features))
-        y = None
+
+        fused = self._try_edge_combine(parts, kernel)
+        if fused is not None:
+            return fused
+
+        metas = []
         o = 0
         for p in parts:
             d = _dim(p)
-            k = kernel[o:o + d]
+            metas.append((p, kernel[o:o + d]))
+            o += d
+        # group plain/ScaledPart inputs sharing ONE source array (the PNA
+        # posttrans pattern: each aggregator section appears once per
+        # scaler): one matmul against the column-concatenated kernel blocks
+        # reads the source ONCE for all scalers instead of |scalers| times
+        # (HBM-bound at these widths), then the per-row scales weight the
+        # column slices
+        by_src = {}
+        for i, (p, _) in enumerate(metas):
+            if isinstance(p, ScaledPart):
+                by_src.setdefault(id(p.x), []).append(i)
+            elif not isinstance(p, (GatherPart, tuple)):
+                by_src.setdefault(id(p), []).append(i)
+        y = None
+        done = set()
+        F = self.features
+        for i, (p, k) in enumerate(metas):
+            if i in done:
+                continue
             if isinstance(p, GatherPart):
                 from infomax3d_tpu.ops.segment import take_rows
                 t = take_rows(p.nodes @ k, p.idx, p.indices_sorted, p.row_ptr,
                               p.perm, p.max_deg, p.tile_win)
-            elif isinstance(p, ScaledPart):
-                t = p.row_scale * (p.x @ k)
             elif isinstance(p, tuple):
                 nodes, idx = p
                 t = jnp.take(nodes @ k, idx.clip(0, nodes.shape[0] - 1),
                              axis=0)
             else:
-                t = p @ k
+                src = p.x if isinstance(p, ScaledPart) else p
+                idxs = by_src[id(src)]
+                if len(idxs) > 1:
+                    wide = src @ jnp.concatenate(
+                        [metas[j][1] for j in idxs], axis=1)
+                    t = None
+                    for slot, j in enumerate(idxs):
+                        pj = metas[j][0]
+                        yj = wide[:, slot * F:(slot + 1) * F]
+                        if isinstance(pj, ScaledPart):
+                            yj = pj.row_scale * yj
+                        t = yj if t is None else t + yj
+                        done.add(j)
+                elif isinstance(p, ScaledPart):
+                    t = p.row_scale * (p.x @ k)
+                else:
+                    t = p @ k
             y = t if y is None else y + t
-            o += d
         if self.use_bias:
             y = y + self.param("bias", self.bias_init, (self.features,))
         return y
+
+    def _try_edge_combine(self, parts, kernel):
+        """Fused path for the message-MLP first layer: a (src, dst)
+        GatherPart pair + plain edge arrays becomes ONE Pallas edge-combine
+        call (`ops/pallas/spmm.py::csr_edge_combine`) — the two [E, D]
+        gather outputs and the add chain never hit HBM.  Value contract:
+        identical on real edges; padding edges hold pe (edge-projection +
+        bias) instead of clip-gather junk — both are masked everywhere.
+        Returns None when the pattern or backend doesn't fit."""
+        gps = [p for p in parts if isinstance(p, GatherPart)]
+        rest = [p for p in parts
+                if not isinstance(p, (GatherPart, ScaledPart, tuple))]
+        if (len(gps) != 2 or len(gps) + len(rest) != len(parts)
+                or not rest):
+            return None
+        src = next((p for p in gps if p.perm is not None), None)
+        dst = next((p for p in gps if p.perm is None
+                    and p.row_ptr is not None), None)
+        if src is None or dst is None or src.row_ptr is None:
+            return None
+        if min(src.cmb_span, dst.cmb_span) <= 0:
+            return None
+        from infomax3d_tpu.ops.pallas.spmm import (_combine_kernel_ok,
+                                                   csr_edge_combine)
+        # gate BEFORE creating any param (the main path creates `bias` too —
+        # a late bail here would double-create it)
+        if not (_combine_kernel_ok(dst.nodes, rest[0], dst.cmb_span)
+                and self.features <= 512
+                and kernel.dtype == dst.nodes.dtype
+                and all(p.dtype == dst.nodes.dtype for p in rest)):
+            return None
+        o = 0
+        slices = {}
+        for p in parts:
+            d = (p[0] if isinstance(p, (GatherPart, ScaledPart, tuple))
+                 else p).shape[-1]
+            slices[id(p)] = kernel[o:o + d]
+            o += d
+        pe = None
+        for p in rest:
+            t = p @ slices[id(p)]
+            pe = t if pe is None else pe + t
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            pe = pe + bias.astype(pe.dtype)
+        hd = dst.nodes @ slices[id(dst)]
+        hs = src.nodes @ slices[id(src)]
+        return csr_edge_combine(
+            hd, hs, pe, dst.idx, src.idx, dst.row_ptr, src.row_ptr,
+            src.perm, dst.max_deg, dst.tile_win, src.tile_win,
+            dst.cmb_span)
 
 
 class FCLayer(nn.Module):

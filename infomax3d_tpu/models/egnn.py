@@ -36,10 +36,13 @@ class EGCLayer(nn.Module):
         xd = jnp.take(g.coords, g.receivers.clip(0, N - 1), axis=0)
         sq = jnp.sum((xs - xd) ** 2, axis=-1, keepdims=True)
         from infomax3d_tpu.ops.mailbox import (
-            edge_aggregate, gather_dst, gather_src, has_csr, has_mailbox)
+            edge_aggregate, gather_dst, gather_parts, gather_src, has_csr,
+            has_mailbox)
         if has_csr(g) or not has_mailbox(g):
-            # SplitDense lazy parts: node-space projection, no concat
-            z = [(h, g.senders), (h, g.receivers), sq]
+            # SplitDense lazy parts: node-space projection, no concat;
+            # csr batches get the Pallas seg-sum backwards + fused combine
+            src, dst = gather_parts(g, h)
+            z = [src, dst, sq]
         else:
             z = [gather_src(g, h), gather_dst(g, h), sq]
         msg = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim, layers=2,

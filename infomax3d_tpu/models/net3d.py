@@ -48,8 +48,12 @@ class Net3DLayer(nn.Module):
         N = h.shape[0]
         from infomax3d_tpu.ops.mailbox import has_csr, has_mailbox
         if has_csr(g) or not has_mailbox(g):
-            # SplitDense lazy parts: node-space projection, no concat
-            z = [(h, g.senders), (h, g.receivers), e]
+            # SplitDense lazy parts: node-space projection, no concat;
+            # csr batches additionally get the Pallas seg-sum backwards and
+            # the fused edge-combine forward (ops/mailbox.py::gather_parts)
+            from infomax3d_tpu.ops.mailbox import gather_parts
+            src, dst = gather_parts(g, h)
+            z = [src, dst, e]
         else:
             z = [gather_src(g, h), gather_dst(g, h), e]
         message = MLP(out_dim=self.hidden_dim, hidden_size=self.hidden_dim,

@@ -60,19 +60,8 @@ class PNALayer(nn.Module):
             # matmul rows drop from E to N (exact: take(hK) == take(h)K).
             # CSR buckets are receiver-sorted, so the receiver gather's
             # scatter backward takes the sorted fast path.
-            from infomax3d_tpu.models.base import GatherPart
-            rp = g.extras.get("csr_row_ptr") if has_csr(g) else None
-            mb = g.extras.get("mb_in_edges")
-            K = mb.shape[1] if (mb is not None and has_csr(g)) else 0
-            tw = g.extras.get("csr_tile_win")
-            cw = g.extras.get("csc_tile_win")
-            parts = [GatherPart(h, g.senders,
-                                row_ptr=g.extras.get("csc_row_ptr"),
-                                perm=g.extras.get("csc_perm"), max_deg=K,
-                                tile_win=0 if cw is None else cw.shape[0]),
-                     GatherPart(h, g.receivers, indices_sorted=has_csr(g),
-                                row_ptr=rp, max_deg=K,
-                                tile_win=0 if tw is None else tw.shape[0])]
+            from infomax3d_tpu.ops.mailbox import gather_parts
+            parts = list(gather_parts(g, h))
         else:
             # mailbox batches keep the explicit gathers (their custom VJP
             # backward is a scatter-free mailbox sum)

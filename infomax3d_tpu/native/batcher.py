@@ -161,6 +161,17 @@ def pack_batch_native(graphs: Sequence[Dict[str, np.ndarray]], bucket,
             spans.append(int(recv_sorted[en - 1]) - int(recv_sorted[st]) + 1)
         bspan = max(128, int(np.ceil((max(spans) + 16) / 128)) * 128)
         out["csr_bwd_span"] = np.zeros(bspan, np.int8)
+        send_sorted = out["senders"]
+        cspans = [1]
+        for st in range(0, e_real, CSR_TILE_E):
+            en = min(st + CSR_TILE_E, e_real)
+            touched_lo = min(int(recv_sorted[st:en].min()),
+                             int(send_sorted[st:en].min()))
+            touched_hi = max(int(recv_sorted[st:en].max()),
+                             int(send_sorted[st:en].max()))
+            cspans.append(touched_hi - touched_lo + 1)
+        cspan = max(128, int(np.ceil((max(cspans) + 16) / 128)) * 128)
+        out["csr_cmb_span"] = np.zeros(cspan, np.int8)
     if K > 0:
         out.update(
             mb_in_edges=mb_in_edges.reshape(N, K),

@@ -282,6 +282,30 @@ def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
                                deg=g.extras.get("in_degree"))
 
 
+def gather_parts(g, h):
+    """(src_part, dst_part) lazy GatherParts for a SplitDense message MLP —
+    node-space projection + scatter-free kernel backwards, and (together
+    with a plain edge part) the fused Pallas edge-combine forward
+    (models/base.py::SplitDense._try_edge_combine).  Callers on csr batches
+    should prefer this over (h, idx) tuples."""
+    from infomax3d_tpu.models.base import GatherPart
+    rp = g.extras.get("csr_row_ptr") if has_csr(g) else None
+    mb = g.extras.get("mb_in_edges")
+    K = mb.shape[1] if (mb is not None and has_csr(g)) else 0
+    tw = g.extras.get("csr_tile_win")
+    cw = g.extras.get("csc_tile_win")
+    cs = g.extras.get("csr_cmb_span")
+    cspan = 0 if cs is None else cs.shape[0]
+    src = GatherPart(h, g.senders, row_ptr=g.extras.get("csc_row_ptr"),
+                     perm=g.extras.get("csc_perm"), max_deg=K,
+                     tile_win=0 if cw is None else cw.shape[0],
+                     cmb_span=cspan)
+    dst = GatherPart(h, g.receivers, indices_sorted=has_csr(g), row_ptr=rp,
+                     max_deg=K, tile_win=0 if tw is None else tw.shape[0],
+                     cmb_span=cspan)
+    return src, dst
+
+
 def gather_src(g, h):
     """h[senders]; under dense-mailbox batches the backward is a mailbox-sum
     (no scatter).  csr batches route the backward through the scatter-free

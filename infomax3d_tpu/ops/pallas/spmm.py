@@ -817,6 +817,168 @@ def csr_segment_sum_bf16(ct, row_ptr, max_deg: int, tile_win: int = 0,
     return _csr_seg_sum_raw(ct, row_ptr, max_deg, interpret, tile_win)
 
 
+def _edge_combine_kernel(bns_ref, ops_hbm, pe_ref, recv_ref, send_ref,
+                         out_ref, w_ops, sems, *, TE, TNW, DC, N, NT):
+    """Fused edge combine: z[e] = hd[recv[e]] + hs[send[e]] + pe[e].
+
+    Replaces the two forward row-gathers + the edge-space add chain of a
+    message MLP's first layer (PNA pretrans SplitDense): per edge block,
+    ONE packed node window [TNW, 2*DC] (hd | hs) streams in (3-deep DMA
+    pipeline) and two one-hot MXU matmuls broadcast both operands — the
+    [E, D] gather outputs never hit HBM.  Within a CSR-sorted edge block
+    both receivers AND senders stay inside the touched molecules' node
+    range, so one window covers both (batcher-measured `csr_cmb_span`).
+    Padding edges (recv == N) write pe alone (zero one-hot rows)."""
+    t = pl.program_id(0)
+
+    def dma(slot, blk):
+        ns = pl.multiple_of((bns_ref[blk] // 8) * 8, 8)
+        return pltpu.make_async_copy(
+            ops_hbm.at[pl.ds(ns, TNW), :], w_ops.at[slot], sems.at[slot])
+
+    NSLOT = 3
+    slot = jax.lax.rem(t, NSLOT)
+
+    @pl.when(t == 0)
+    def _():
+        for a in range(NSLOT - 1):
+            if a < NT:
+                dma(a, a).start()
+
+    @pl.when(t + NSLOT - 1 < NT)
+    def _():
+        dma(jax.lax.rem(t + NSLOT - 1, NSLOT), t + NSLOT - 1).start()
+
+    ns = pl.multiple_of((bns_ref[t] // 8) * 8, 8)
+    recv = recv_ref[:]                                        # [TE, 1] i32
+    send = send_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TE, TNW), 1)
+    inc_r = (lane == recv - ns).astype(jnp.bfloat16)          # [TE, TNW]
+    inc_s = (lane == send - ns).astype(jnp.bfloat16)
+
+    dma(slot, t).wait()
+    win = w_ops[slot]                                         # [TNW, 2DC]
+    zd = jnp.dot(inc_r, win[:, 0 * DC:1 * DC],
+                 preferred_element_type=jnp.float32)
+    zs = jnp.dot(inc_s, win[:, 1 * DC:2 * DC],
+                 preferred_element_type=jnp.float32)
+    out_ref[:] = (zd + zs + pe_ref[:].astype(jnp.float32)) \
+        .astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _csr_edge_combine_raw(hd, hs, pe, receivers, senders,
+                          cmb_span: int, interpret: bool):
+    """z[e] = hd[recv[e]] + hs[send[e]] + pe[e], all bf16 [.., D<=512]."""
+    E, D = pe.shape
+    N = hd.shape[0]
+    TE = CSR_TILE_E
+    TNW = cmb_span
+    DC = ((D + 127) // 128) * 128
+
+    def lane_pad(x):
+        x = x.astype(jnp.bfloat16)
+        if x.shape[1] < DC:
+            x = jnp.pad(x, ((0, 0), (0, DC - x.shape[1])))
+        return x
+
+    packed = jnp.concatenate([lane_pad(hd), lane_pad(hs)], axis=1)
+    packed = jnp.pad(packed, ((0, TNW), (0, 0)))              # window slack
+
+    NT = (E + TE - 1) // TE
+    Ep = NT * TE
+    pe_p = lane_pad(pe)
+    if Ep > E:
+        pe_p = jnp.pad(pe_p, ((0, Ep - E), (0, 0)))
+    recv_p = jnp.pad(receivers.astype(jnp.int32), (0, Ep - E),
+                     constant_values=-1).reshape(Ep, 1)
+    send_p = jnp.pad(senders.astype(jnp.int32), (0, Ep - E),
+                     constant_values=-1).reshape(Ep, 1)
+    # per-block window start: min touched node over the block's real edges
+    lo_r = jnp.where(receivers < N, receivers.astype(jnp.int32), N - 1)
+    lo_s = jnp.where(senders < N, senders.astype(jnp.int32), N - 1)
+    lo = jnp.minimum(lo_r, lo_s)
+    lo = jnp.pad(lo, (0, Ep - E), constant_values=N - 1)
+    bns = jnp.clip(lo.reshape(NT, TE).min(axis=1), 0, max(N - 1, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NT,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TE, 1), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TE, 1), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3, TNW, 2 * DC), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )
+    kernel = functools.partial(_edge_combine_kernel, TE=TE, TNW=TNW, DC=DC,
+                               N=N, NT=NT)
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((Ep, DC), jnp.bfloat16),
+        grid_spec=grid_spec, interpret=interpret)(
+        bns, packed, pe_p, recv_p, send_p)
+    return out[:E, :D]
+
+
+def _combine_kernel_ok(hd, pe, cmb_span: int) -> bool:
+    import os
+    if cmb_span <= 0 or os.environ.get("INFOMAX3D_COMBINE_KERNEL", "1") == "0":
+        return False
+    return (hd.dtype == jnp.bfloat16 and pe.dtype == jnp.bfloat16
+            and pe.shape[1] <= 512 and jax.default_backend() != "cpu")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def csr_edge_combine(hd, hs, pe, receivers, senders, row_ptr, csc_row_ptr,
+                     csc_perm, max_deg: int, tile_win: int,
+                     csc_tile_win: int, cmb_span: int,
+                     interpret: bool = False):
+    """Fused `hd[recv] + hs[send] + pe` with scatter-free backwards:
+    d_hd / d_hs ride the Pallas incidence seg-sum (CSR / CSC order), d_pe
+    is the cotangent itself.  Falls back to clip-gathers + add when the
+    kernel is unavailable (CPU, f32, no span marker)."""
+    if _combine_kernel_ok(hd, pe, cmb_span):
+        return _csr_edge_combine_raw(hd, hs, pe, receivers, senders,
+                                     cmb_span, interpret)
+    N = hd.shape[0]
+    return (jnp.take(hd, receivers.clip(0, N - 1), axis=0)
+            + jnp.take(hs, senders.clip(0, N - 1), axis=0) + pe)
+
+
+def _combine_fwd(hd, hs, pe, receivers, senders, row_ptr, csc_row_ptr,
+                 csc_perm, max_deg, tile_win, csc_tile_win, cmb_span,
+                 interpret):
+    z = csr_edge_combine(hd, hs, pe, receivers, senders, row_ptr,
+                         csc_row_ptr, csc_perm, max_deg, tile_win,
+                         csc_tile_win, cmb_span, interpret)
+    return z, (receivers, senders, row_ptr, csc_row_ptr, csc_perm,
+               hd.shape[0])
+
+
+def _combine_bwd(max_deg, tile_win, csc_tile_win, cmb_span, interpret,
+                 res, ct):
+    from infomax3d_tpu.ops.segment import (_use_segsum_kernel,
+                                           sorted_segment_sum)
+    receivers, senders, row_ptr, csc_row_ptr, csc_perm, n = res
+    if _use_segsum_kernel(ct, max_deg):
+        d_hd = _csr_seg_sum_raw(ct, row_ptr, max_deg, interpret, tile_win)
+        d_hs = _csr_seg_sum_raw(jnp.take(ct, csc_perm, axis=0), csc_row_ptr,
+                                max_deg, interpret, csc_tile_win)
+    else:
+        d_hd = sorted_segment_sum(ct, row_ptr)
+        d_hs = sorted_segment_sum(jnp.take(ct, csc_perm, axis=0),
+                                  csc_row_ptr)
+    return d_hd, d_hs, ct, None, None, None, None, None
+
+
+csr_edge_combine.defvjp(_combine_fwd, _combine_bwd)
+
+
 def _sum_kernel(row_ptr_ref, msg_hbm, sum_ref, win_ref, sem,
                 *, TN, DC, WIN, E, exact=True):
     i = pl.program_id(0)

@@ -340,3 +340,62 @@ def test_seg_sum_kernel_interpret_parity(rng):
         num_segments=N + 1)[:N].astype(jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(ref, np.float32))
+
+
+def test_edge_combine_kernel_interpret_parity(rng):
+    """csr_edge_combine fwd (raw kernel, interpret) == take+take+add on
+    real edges; custom-VJP grads match the take-based formula."""
+    import jax.numpy as jnp
+
+    from infomax3d_tpu.data.synthetic import SyntheticMolecules
+    from infomax3d_tpu.graphs.batch import (BucketSpec, batch_graphs,
+                                            to_graph_batch)
+    from infomax3d_tpu.ops.pallas.spmm import (_csr_edge_combine_raw,
+                                               csr_edge_combine)
+
+    ds = SyntheticMolecules(32, seed=9, n_min=5, n_max=16)
+    mols = [ds.graph2d(i) for i in range(32)]
+    maxdeg = max(int(np.bincount(m["receivers"]).max()) for m in mols)
+    n_tot = sum(m["node_feat"].shape[0] for m in mols)
+    e_tot = sum(m["senders"].shape[0] for m in mols)
+    g = to_graph_batch(batch_graphs(mols, BucketSpec(
+        32, n_tot + 24, e_tot + 48, max_deg=maxdeg, csr=True)))
+    rp = g.extras["csr_row_ptr"]
+    N, E, D = g.num_nodes, g.senders.shape[0], 56
+    hd = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32), jnp.bfloat16)
+    hs = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32), jnp.bfloat16)
+    pe = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32), jnp.bfloat16)
+    cspan = g.extras["csr_cmb_span"].shape[0]
+
+    got = _csr_edge_combine_raw(hd, hs, pe, g.receivers, g.senders,
+                                cspan, True)
+    want = (jnp.take(hd, g.receivers.clip(0, N - 1), axis=0).astype(jnp.float32)
+            + jnp.take(hs, g.senders.clip(0, N - 1), axis=0).astype(jnp.float32)
+            + pe.astype(jnp.float32)).astype(jnp.bfloat16)
+    e_real = int(np.asarray(rp)[-1])
+    np.testing.assert_array_equal(np.asarray(got, np.float32)[:e_real],
+                                  np.asarray(want, np.float32)[:e_real])
+
+    # custom-VJP grads (sorted seg-sum fallback on CPU) vs take formula
+    w = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+    emask = (np.asarray(g.receivers) < N).astype(np.float32)[:, None]
+    wm = w * emask
+
+    def fused(hd, hs, pe):
+        z = csr_edge_combine(hd, hs, pe, g.receivers, g.senders, rp,
+                             g.extras["csc_row_ptr"], g.extras["csc_perm"],
+                             maxdeg, g.extras["csr_tile_win"].shape[0],
+                             g.extras["csc_tile_win"].shape[0], cspan)
+        return (z.astype(jnp.float32) * wm).sum()
+
+    def plain(hd, hs, pe):
+        z = (jnp.take(hd, g.receivers.clip(0, N - 1), axis=0)
+             + jnp.take(hs, g.senders.clip(0, N - 1), axis=0) + pe)
+        return (z.astype(jnp.float32) * wm).sum()
+
+    g1 = jax.grad(fused, argnums=(0, 1, 2))(hd, hs, pe)
+    g2 = jax.grad(plain, argnums=(0, 1, 2))(hd, hs, pe)
+    for a, b, nm in zip(g1, g2, "hd hs pe".split()):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=0.02, atol=0.02, err_msg=nm)
