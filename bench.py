@@ -83,9 +83,11 @@ def main():
     labels, active = label_params(params)
     opt = GroupedOptimizer(labels, name="Adam", lr=8e-5)
     opt_state = opt.init(params)
+    # keep lrs a NUMPY closure constant: a closed-over DEVICE array is
+    # embedded into the lowered module via a device->host fetch, which is
+    # pathologically slow over a remote-device tunnel.
     lrs = np.zeros(4, np.float32)
     lrs[:2] = 8e-5
-    lrs = jax.numpy.asarray(lrs)
     loss_fn_obj = LOSS_REGISTRY["NTXent"](tau=0.1)
 
     import functools

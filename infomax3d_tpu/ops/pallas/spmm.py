@@ -217,14 +217,20 @@ def preflight_stats_kernel() -> bool:
         return _STATS_KERNEL_OK
     import jax
     try:
+        import numpy as np
         N, deg, D = 16, 4, 128
         E = N * deg
-        msgs = jnp.linspace(-1.0, 1.0, E * D,
-                            dtype=jnp.float32).reshape(E, D) \
-            .astype(jnp.bfloat16)
-        row_ptr = (jnp.arange(N + 1, dtype=jnp.int32) * deg)
-        recv = jnp.repeat(jnp.arange(N, dtype=jnp.int32), deg)
-        out = jax.jit(lambda m: csr_pna_stats(m, row_ptr, recv, deg))(msgs)
+        # build operands in numpy and pass ALL of them as jit arguments:
+        # a closed-over device array is embedded as an MLIR constant at
+        # lowering time via a device->host fetch, which is pathologically
+        # slow over a remote-device tunnel (observed 40s+ per fetch).
+        msgs = np.linspace(-1.0, 1.0, E * D,
+                           dtype=np.float32).reshape(E, D)
+        msgs = jnp.asarray(msgs).astype(jnp.bfloat16)
+        row_ptr = jnp.asarray(np.arange(N + 1, dtype=np.int32) * deg)
+        recv = jnp.asarray(np.repeat(np.arange(N, dtype=np.int32), deg))
+        out = jax.jit(lambda m, rp, rc: csr_pna_stats(m, rp, rc, deg))(
+            msgs, row_ptr, recv)
         jax.block_until_ready(out)
         _STATS_KERNEL_OK = bool(jnp.isfinite(out[0]).all())
     except Exception as e:             # Mosaic/XLA compile or runtime error
