@@ -272,6 +272,14 @@ def batch_graphs(
             spans.append(int(receivers[en - 1]) - int(receivers[st]) + 1)
         bspan = max(128, int(np.ceil((max(spans) + 16) / 128)) * 128)
         out["csr_bwd_span"] = np.zeros(bspan, np.int8)
+        # per-edge slot within its receiver's CSR range (the stats-backward
+        # kernel's extremum-routing operand).  Host-precomputed: the in-jit
+        # equivalent take(row_ptr, receivers) is a 1D XLA gather that
+        # measured 131 us/step on v5e.  -1 on padding edges (matches no
+        # argmax/argmin slot).
+        pos = (np.arange(receivers.shape[0], dtype=np.int32)
+               - row_ptr[np.minimum(receivers, N)])
+        out["csr_pos"] = np.where(receivers < N, pos, -1).astype(np.int16)
         # combine-kernel node window: max span of touched nodes (receivers
         # AND senders) under any TILE_E consecutive real edges — sizes the
         # fused edge-combine kernel's packed window (ops/pallas/spmm.py::
@@ -336,7 +344,7 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     extras = {k: jnp.asarray(arrays[k]) for k in extras_keys if k in arrays}
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
               "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csr_tile_win", "csr_bwd_span",
-              "csc_perm", "csc_row_ptr", "csc_tile_win", "csr_cmb_span",
+              "csc_perm", "csc_row_ptr", "csc_tile_win", "csr_cmb_span", "csr_pos",
               "rd_node_idx", "rd_inv_flat",
               "in_degree"):
         if k in arrays:

@@ -72,6 +72,7 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.1
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    affine_out: bool = False   # return (a, b) with y == x*a + b (see below)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -127,6 +128,15 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
+        if self.affine_out:
+            # lazy apply: return the per-column affine (a, b) with
+            # y == x * a + b — the caller folds it into the NEXT matmul's
+            # [D, F] weights (AffinePart), so the normalized [rows, D]
+            # tensor never hits HBM.  Running-stats updates above are
+            # identical to the materializing path.
+            a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+            b = bias.astype(jnp.float32) - mean * a
+            return a, b
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         # normalize in f32 (stats precision), return in the network's compute
         # dtype so bf16 mode stays bf16 across BN boundaries
@@ -160,6 +170,19 @@ class ScaledPart(NamedTuple):
     row_scale: jnp.ndarray  # [N, 1]
 
 
+class AffinePart(NamedTuple):
+    """Lazy column-affine SplitDense input: ``(x*scale + shift) @ k ==
+    x @ (scale[:,None]*k) + shift@k`` — a BatchNorm APPLY between two dense
+    layers folds into the next matmul's [D, F] weight columns, so the
+    normalized [rows, D] tensor never hits HBM (rows is the edge count in
+    the PNA pretrans MLP — 58 us/layer of BN-apply fusion on v5e).
+    Gradients through scale/shift (and hence the batch mean/var) are exact:
+    everything stays plain traced jax ops."""
+    x: jnp.ndarray          # pre-BN activations [rows, D]
+    scale: jnp.ndarray      # [D] f32
+    shift: jnp.ndarray      # [D] f32
+
+
 class SplitDense(nn.Module):
     """Drop-in for ``nn.Dense`` applied to a CONCATENATION of parts, without
     materializing the concat: y = sum_i part_i @ kernel[o_i:o_i+d_i] + b.
@@ -174,7 +197,7 @@ class SplitDense(nn.Module):
     @nn.compact
     def __call__(self, parts):
         def _dim(p):
-            if isinstance(p, (GatherPart, ScaledPart)):
+            if isinstance(p, (GatherPart, ScaledPart, AffinePart)):
                 return p[0].shape[-1]
             return (p[0] if isinstance(p, tuple) else p).shape[-1]
         in_total = sum(_dim(p) for p in parts)
@@ -213,6 +236,14 @@ class SplitDense(nn.Module):
                 from infomax3d_tpu.ops.segment import take_rows
                 t = take_rows(p.nodes @ k, p.idx, p.indices_sorted, p.row_ptr,
                               p.perm, p.max_deg, p.tile_win)
+            elif isinstance(p, AffinePart):
+                # fold the column affine into the weight block: the scaled
+                # kernel is [D, F] (tiny), the [rows, D] apply never runs
+                kf = (p.scale[:, None].astype(jnp.float32)
+                      * k.astype(jnp.float32)).astype(p.x.dtype)
+                row = p.shift @ k.astype(jnp.float32)          # [F] f32
+                t = (jnp.dot(p.x, kf, preferred_element_type=jnp.float32)
+                     + row).astype(p.x.dtype)
             elif isinstance(p, tuple):
                 nodes, idx = p
                 t = jnp.take(nodes @ k, idx.clip(0, nodes.shape[0] - 1),
@@ -302,12 +333,16 @@ class FCLayer(nn.Module):
     batch_norm: bool = False
     batch_norm_momentum: float = 0.1
     bias: bool = True
+    lazy_out: bool = False   # batch_norm -> return AffinePart (fold the BN
+                             # apply into the consumer's matmul weights)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
                  use_running_average: Optional[bool] = None):
         if use_running_average is None:
             use_running_average = deterministic
+        if isinstance(x, AffinePart):
+            x = [x]
         if isinstance(x, (list, tuple)):
             h = SplitDense(self.out_dim, use_bias=self.bias,
                            kernel_init=scaled_xavier_uniform(),
@@ -321,6 +356,11 @@ class FCLayer(nn.Module):
         if self.dropout > 0.0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         if self.batch_norm:
+            if self.lazy_out:
+                a, b = MaskedBatchNorm(momentum=self.batch_norm_momentum,
+                                       affine_out=True)(
+                    h, mask=mask, use_running_average=use_running_average)
+                return AffinePart(h, a, b)
             h = MaskedBatchNorm(momentum=self.batch_norm_momentum)(
                 h, mask=mask, use_running_average=use_running_average)
         return h
@@ -347,13 +387,17 @@ class MLP(nn.Module):
             return FCLayer(self.out_dim, activation=self.last_activation,
                            batch_norm=self.last_batch_norm, dropout=self.dropout,
                            batch_norm_momentum=self.batch_norm_momentum)(x, **kw)
+        # mid layers emit lazy AffineParts when batch-normed: the BN apply
+        # folds into the NEXT FCLayer's matmul weights (see AffinePart)
         h = FCLayer(self.hidden_size, activation=self.mid_activation,
                     batch_norm=self.mid_batch_norm, dropout=self.dropout,
-                    batch_norm_momentum=self.batch_norm_momentum)(x, **kw)
+                    batch_norm_momentum=self.batch_norm_momentum,
+                    lazy_out=True)(x, **kw)
         for _ in range(self.layers - 2):
             h = FCLayer(self.hidden_size, activation=self.mid_activation,
                         batch_norm=self.mid_batch_norm, dropout=self.dropout,
-                        batch_norm_momentum=self.batch_norm_momentum)(h, **kw)
+                        batch_norm_momentum=self.batch_norm_momentum,
+                        lazy_out=True)(h, **kw)
         return FCLayer(self.out_dim, activation=self.last_activation,
                        batch_norm=self.last_batch_norm, dropout=self.dropout,
                        batch_norm_momentum=self.batch_norm_momentum)(h, **kw)

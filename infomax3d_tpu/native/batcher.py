@@ -161,6 +161,11 @@ def pack_batch_native(graphs: Sequence[Dict[str, np.ndarray]], bucket,
             spans.append(int(recv_sorted[en - 1]) - int(recv_sorted[st]) + 1)
         bspan = max(128, int(np.ceil((max(spans) + 16) / 128)) * 128)
         out["csr_bwd_span"] = np.zeros(bspan, np.int8)
+        # per-edge CSR slot (stats-backward routing operand); see
+        # graphs/batch.py for rationale.  -1 on padding edges.
+        pos = (np.arange(recv_sorted.shape[0], dtype=np.int32)
+               - csr_row_ptr[np.minimum(recv_sorted, N)])
+        out["csr_pos"] = np.where(recv_sorted < N, pos, -1).astype(np.int16)
         send_sorted = out["senders"]
         cspans = [1]
         for st in range(0, e_real, CSR_TILE_E):

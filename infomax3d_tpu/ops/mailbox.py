@@ -257,7 +257,8 @@ def pna_aggregate_parts(g, messages, aggregators, scalers, avg_d_log=1.0):
             messages, g.extras["csr_row_ptr"], g.receivers, K, aggregators,
             scalers, avg_d_log, interpret=_pallas_interpret(),
             tile_win=0 if tw is None else tw.shape[0],
-            bwd_span=0 if bs is None else bs.shape[0])
+            bwd_span=0 if bs is None else bs.shape[0],
+            pos=g.extras.get("csr_pos"))
     return [pna_aggregate(g, messages, aggregators, scalers, avg_d_log)]
 
 
@@ -271,7 +272,8 @@ def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
                                  g.receivers, K, aggregators, scalers,
                                  avg_d_log, interpret=_pallas_interpret(),
                                  tile_win=0 if tw is None else tw.shape[0],
-                                 bwd_span=0 if bs is None else bs.shape[0])
+                                 bwd_span=0 if bs is None else bs.shape[0],
+                                 pos=g.extras.get("csr_pos"))
     if has_mailbox(g):
         return pna_mailbox_aggregate(
             messages, g.extras["mb_in_edges"], g.extras["mb_edge_slot"],

@@ -229,7 +229,8 @@ def preflight_stats_kernel() -> bool:
         msgs = jnp.asarray(msgs).astype(jnp.bfloat16)
         row_ptr = jnp.asarray(np.arange(N + 1, dtype=np.int32) * deg)
         recv = jnp.asarray(np.repeat(np.arange(N, dtype=np.int32), deg))
-        out = jax.jit(lambda m, rp, rc: csr_pna_stats(m, rp, rc, deg))(
+        out = jax.jit(
+            lambda m, rp, rc: csr_pna_stats(m, rp, rc, max_deg=deg))(
             msgs, row_ptr, recv)
         jax.block_until_ready(out)
         _STATS_KERNEL_OK = bool(jnp.isfinite(out[0]).all())
@@ -258,9 +259,9 @@ def _use_stats_kernel(messages, max_deg: int = 0) -> bool:
 
 
 def _stats_outs(messages, row_ptr, receivers, max_deg, aggregators, has,
-                interpret, tile_win=0, bwd_span=0):
+                interpret, tile_win=0, bwd_span=0, pos=None):
     s1, mean, std, mx, mn = csr_pna_stats(messages, row_ptr, receivers,
-                                          max_deg, interpret, tile_win,
+                                          pos, max_deg, interpret, tile_win,
                                           bwd_span,
                                           "sum" in aggregators)
     outs = {}
@@ -312,7 +313,7 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
                       aggregators: Sequence[str],
                       scalers: Sequence[str] = ("identity",),
                       avg_d_log: float = 1.0, interpret: bool = False,
-                      tile_win: int = 0, bwd_span: int = 0):
+                      tile_win: int = 0, bwd_span: int = 0, pos=None):
     """PNA multi-aggregator from one fused kernel pass — value-identical to
     `ops.segment.pna_multi_aggregate` for {sum, mean, max, min, std, var}.
     Moment aggregators fall back to the XLA path upstream."""
@@ -322,7 +323,8 @@ def pna_csr_aggregate(messages, row_ptr, receivers, max_deg: int,
     outs = {}
     if _use_stats_kernel(messages, max_deg):
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
-                           aggregators, has, interpret, tile_win, bwd_span)
+                           aggregators, has, interpret, tile_win, bwd_span,
+                           pos)
     else:
         outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
                             aggregators, deg_safe, has, interpret)
@@ -350,7 +352,7 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
                             aggregators: Sequence[str],
                             scalers: Sequence[str] = ("identity",),
                             avg_d_log: float = 1.0, interpret: bool = False,
-                            tile_win: int = 0, bwd_span: int = 0):
+                            tile_win: int = 0, bwd_span: int = 0, pos=None):
     """`pna_csr_aggregate` as SplitDense parts: the (scaler-major, aggregator
     -minor) block order of the concatenated tensor is preserved, but neither
     the aggregator concat nor the degree-scaled copies are materialized —
@@ -367,7 +369,8 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
         # directly (no node-side f32 mean/std chains, half the HBM writes,
         # double-buffered window DMA)
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
-                           aggregators, has, interpret, tile_win, bwd_span)
+                           aggregators, has, interpret, tile_win, bwd_span,
+                           pos)
     else:
         outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
                             aggregators, deg_safe, has, interpret)
@@ -635,8 +638,8 @@ def _stats_raw_dispatch(messages, row_ptr, max_deg, interpret, tile_win=0,
     return _csr_stats_mailbox_raw(messages, row_ptr, max_deg)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def csr_pna_stats(messages, row_ptr, receivers, max_deg: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def csr_pna_stats(messages, row_ptr, receivers, pos=None, max_deg: int = 0,
                   interpret: bool = False, tile_win: int = 0,
                   bwd_span: int = 0, want_sum: bool = True):
     """(sum, mean, std, max, min) — all bf16 — with an analytic bf16
@@ -656,19 +659,19 @@ def csr_pna_stats(messages, row_ptr, receivers, max_deg: int,
     return s1, mean, std, mx, mn
 
 
-def _stats_fwd(messages, row_ptr, receivers, max_deg, interpret, tile_win=0,
-               bwd_span=0, want_sum=True):
+def _stats_fwd(messages, row_ptr, receivers, pos=None, max_deg=0,
+               interpret=False, tile_win=0, bwd_span=0, want_sum=True):
     s1, mean, std, mx, mn, enc = _stats_raw_dispatch(
         messages, row_ptr, max_deg, interpret, tile_win, want_sum)
     if s1 is None:
         deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
         s1 = (mean.astype(jnp.float32) * deg).astype(mean.dtype)
     return ((s1, mean, std, mx, mn),
-            (messages, receivers, row_ptr, mean, std, enc))
+            (messages, receivers, row_ptr, pos, mean, std, enc))
 
 
 def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
-    messages, receivers, row_ptr, mean, std, enc = res
+    messages, receivers, row_ptr, pos, mean, std, enc = res
     d_sum, d_mean, d_std, d_mx, d_mn = cots
     N = mean.shape[0]
     deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
@@ -691,10 +694,10 @@ def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
         # packed per-block window; the node->edge broadcast is a single
         # one-hot MXU matmul)
         d_msg = _csr_stats_bwd_raw(
-            messages, receivers, row_ptr,
+            messages, receivers, row_ptr, pos,
             (A.astype(dt), B.astype(dt), mean, d_mx.astype(dt),
              d_mn.astype(dt), enc), bwd_span, interpret)
-        return (d_msg, None, None)
+        return (d_msg, None, None, None)
     # TPU gathers are ROW-bound (~same cost at width 200 or 1400), so the
     # six node-side operands ride ONE wide gather: concat in node space
     # (N rows, cheap) then take in edge space (E rows, the expensive part)
@@ -714,12 +717,14 @@ def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
     # slot is its position within its node's CSR range — the cotangent goes
     # to exactly one edge per node (the reference's torch/DGL argmax
     # semantics; JAX's XLA segment_max would split evenly among ties)
-    pos = (jnp.arange(receivers.shape[0], dtype=jnp.float32)
-           - jnp.take(row_ptr, recv).astype(jnp.float32))[:, None]
+    if pos is None:
+        pos = (jnp.arange(receivers.shape[0], dtype=jnp.float32)
+               - jnp.take(row_ptr, recv).astype(jnp.float32))
+    pos = pos.astype(jnp.float32)[:, None]
     d_msg = d_msg + dmx_e * (pos == amax_e)
     d_msg = d_msg + dmn_e * (pos == amin_e)
     valid = (receivers < N)[:, None]
-    return (jnp.where(valid, d_msg, 0).astype(dt), None, None)
+    return (jnp.where(valid, d_msg, 0).astype(dt), None, None, None)
 
 
 csr_pna_stats.defvjp(_stats_fwd, _stats_bwd)
@@ -824,7 +829,7 @@ def csr_segment_sum_bf16(ct, row_ptr, max_deg: int, tile_win: int = 0,
 
 
 def _edge_combine_kernel(bns_ref, ops_hbm, pe_ref, recv_ref, send_ref,
-                         out_ref, w_ops, sems, *, TE, TNW, DC, N, NT):
+                         out_ref, w_ops, sems, *, TE, TNW, DC, N, NT, LIM):
     """Fused edge combine: z[e] = hd[recv[e]] + hs[send[e]] + pe[e].
 
     Replaces the two forward row-gathers + the edge-space add chain of a
@@ -837,10 +842,18 @@ def _edge_combine_kernel(bns_ref, ops_hbm, pe_ref, recv_ref, send_ref,
     Padding edges (recv == N) write pe alone (zero one-hot rows)."""
     t = pl.program_id(0)
 
+    def _ns(blk):
+        # LIM >= 0: clamp the window start so the node array needs no +TNW
+        # slack pad (a full-array HBM copy); see _stats_bwd_kernel
+        v = (bns_ref[blk] // 8) * 8
+        if LIM >= 0:
+            v = jnp.minimum(v, LIM)
+        return pl.multiple_of(v, 8)
+
     def dma(slot, blk):
-        ns = pl.multiple_of((bns_ref[blk] // 8) * 8, 8)
         return pltpu.make_async_copy(
-            ops_hbm.at[pl.ds(ns, TNW), :], w_ops.at[slot], sems.at[slot])
+            ops_hbm.at[pl.ds(_ns(blk), TNW), :], w_ops.at[slot],
+            sems.at[slot])
 
     NSLOT = 3
     slot = jax.lax.rem(t, NSLOT)
@@ -855,7 +868,7 @@ def _edge_combine_kernel(bns_ref, ops_hbm, pe_ref, recv_ref, send_ref,
     def _():
         dma(jax.lax.rem(t + NSLOT - 1, NSLOT), t + NSLOT - 1).start()
 
-    ns = pl.multiple_of((bns_ref[t] // 8) * 8, 8)
+    ns = _ns(t)
     recv = recv_ref[:]                                        # [TE, 1] i32
     send = send_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TE, TNW), 1)
@@ -889,7 +902,11 @@ def _csr_edge_combine_raw(hd, hs, pe, receivers, senders,
         return x
 
     packed = jnp.concatenate([lane_pad(hd), lane_pad(hs)], axis=1)
-    packed = jnp.pad(packed, ((0, TNW), (0, 0)))              # window slack
+    if N % 8 == 0 and N >= TNW:
+        LIM = N - TNW                  # clamped windows, no slack pad
+    else:
+        packed = jnp.pad(packed, ((0, TNW), (0, 0)))          # window slack
+        LIM = -1
 
     NT = (E + TE - 1) // TE
     Ep = NT * TE
@@ -923,7 +940,7 @@ def _csr_edge_combine_raw(hd, hs, pe, receivers, senders,
                         pltpu.SemaphoreType.DMA((3,))],
     )
     kernel = functools.partial(_edge_combine_kernel, TE=TE, TNW=TNW, DC=DC,
-                               N=N, NT=NT)
+                               N=N, NT=NT, LIM=LIM)
     out = pl.pallas_call(
         kernel, out_shape=jax.ShapeDtypeStruct((Ep, DC), jnp.bfloat16),
         grid_spec=grid_spec, interpret=interpret)(
@@ -1072,19 +1089,30 @@ def csr_mean(messages, row_ptr, receivers, max_deg: int, interpret=False):
 
 
 def _stats_bwd_kernel(bns_ref, ops_hbm, msg_ref, recv_ref, pos_ref, out_ref,
-                      w_ops, sems, *, TE, TNW, DC, N, NT):
+                      w_ops, sems, *, TE, TNW, DC, N, NT, LIM):
     """Edge-block stats backward: ONE packed node-window DMA per block, the
     node->edge broadcast of all six operands rides a single one-hot MXU
     matmul — the [N, 6D] gather materialization in edge space of the XLA
     backward (tens of MB per layer) never exists.  The edge's slot within
     its receiver's CSR range arrives as a per-edge input (`pos`), so no
-    row_ptr decoding happens in-kernel."""
+    row_ptr decoding happens in-kernel.
+
+    LIM >= 0: window starts are clamped to LIM (= rows - TNW, 8-aligned) so
+    the operand array needs NO slack rows — the wrapper's old +TNW pad was
+    a full [N, 6D] HBM copy (~83 us at bench shapes).  Receivers stay
+    covered: a clamped window ends exactly at the last row."""
     t = pl.program_id(0)
 
+    def _ns(blk):
+        v = (bns_ref[blk] // 8) * 8
+        if LIM >= 0:
+            v = jnp.minimum(v, LIM)
+        return pl.multiple_of(v, 8)
+
     def dma(slot, blk):
-        ns = pl.multiple_of((bns_ref[blk] // 8) * 8, 8)
         return pltpu.make_async_copy(
-            ops_hbm.at[pl.ds(ns, TNW), :], w_ops.at[slot], sems.at[slot])
+            ops_hbm.at[pl.ds(_ns(blk), TNW), :], w_ops.at[slot],
+            sems.at[slot])
 
     # 3-deep operand-window pipeline (same rationale as the forward
     # kernel: block compute is shorter than DMA latency)
@@ -1101,7 +1129,7 @@ def _stats_bwd_kernel(bns_ref, ops_hbm, msg_ref, recv_ref, pos_ref, out_ref,
     def _():
         dma(jax.lax.rem(t + NSLOT - 1, NSLOT), t + NSLOT - 1).start()
 
-    ns = pl.multiple_of((bns_ref[t] // 8) * 8, 8)
+    ns = _ns(t)
     recv = recv_ref[:]                                        # [TE, 1] i32
     rel = recv - ns
     lane = jax.lax.broadcasted_iota(jnp.int32, (TE, TNW), 1)
@@ -1130,12 +1158,14 @@ def _stats_bwd_kernel(bns_ref, ops_hbm, msg_ref, recv_ref, pos_ref, out_ref,
     out_ref[:] = jnp.where(valid, d, 0.0).astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _csr_stats_bwd_raw(messages, receivers, row_ptr, pos, operands,
                        bwd_span: int, interpret: bool):
     """operands = (A, B, mean, d_mx, d_mn, enc) node-side bf16 [N, D]
     (A/B already combined and enc = amax + 16*amin from the forward, see
-    _stats_bwd).  Returns d_msg [E, D] bf16."""
+    _stats_bwd).  `pos` is the batcher-precomputed per-edge CSR slot
+    (csr_pos, int16, -1 on padding); None falls back to the in-jit gather.
+    Returns d_msg [E, D] bf16."""
     E, D = messages.shape
     N = row_ptr.shape[0] - 1
     TE = CSR_TILE_E
@@ -1152,7 +1182,14 @@ def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
     # single window DMA stream per block instead of 7 (the per-block DMA
     # issue overhead dominated at molecular block sizes)
     packed = jnp.concatenate([lane_pad(x) for x in operands], axis=1)
-    packed = jnp.pad(packed, ((0, TNW), (0, 0)))              # window slack
+    # window-overrun handling: when N is 8-aligned and tall enough, clamp
+    # the window start in-kernel (LIM) instead of padding — the +TNW slack
+    # pad is a full [N, 6D] HBM copy (XLA materializes pads)
+    if N % 8 == 0 and N >= TNW:
+        LIM = N - TNW                  # multiple of 8 (TNW is 128-aligned)
+    else:
+        packed = jnp.pad(packed, ((0, TNW), (0, 0)))          # window slack
+        LIM = -1
 
     NT = (E + TE - 1) // TE
     Ep = NT * TE
@@ -1164,14 +1201,18 @@ def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
     recv_p = jnp.pad(receivers.astype(jnp.int32), (0, Ep - E),
                      constant_values=-1).reshape(Ep, 1)
     # per-edge slot within its receiver's CSR range (values < max_deg <= 16,
-    # exact in bf16); padding rows get slot -1 (matches nothing)
-    pos = (jnp.arange(E, dtype=jnp.float32)
-           - jnp.take(row_ptr, receivers.clip(0, N - 1)).astype(jnp.float32))
+    # exact in bf16); padding rows get slot -1 (matches nothing).  The
+    # batcher precomputes it (csr_pos) — the in-jit fallback's 1D
+    # take(row_ptr, receivers) gather measured 131 us/step on v5e.
+    if pos is None:
+        pos = (jnp.arange(E, dtype=jnp.float32)
+               - jnp.take(row_ptr,
+                          receivers.clip(0, N - 1)).astype(jnp.float32))
     pos = jnp.pad(pos.astype(jnp.bfloat16), (0, Ep - E),
                   constant_values=-1.0).reshape(Ep, 1)
-    bns = jnp.clip(
-        jnp.searchsorted(row_ptr, jnp.arange(NT, dtype=row_ptr.dtype) * TE,
-                         side="right").astype(jnp.int32) - 1, 0, N - 1)
+    # block window start = receiver of the block's first edge (edges are
+    # receiver-sorted, so no searchsorted is needed)
+    bns = jnp.clip(recv_p[::TE, 0], 0, N - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1189,7 +1230,7 @@ def _csr_stats_bwd_raw(messages, receivers, row_ptr, operands,
                         pltpu.SemaphoreType.DMA((3,))],
     )
     kernel = functools.partial(_stats_bwd_kernel, TE=TE, TNW=TNW, DC=DC,
-                               N=N, NT=NT)
+                               N=N, NT=NT, LIM=LIM)
     out = pl.pallas_call(
         kernel, out_shape=jax.ShapeDtypeStruct((Ep, DC), jnp.bfloat16),
         grid_spec=grid_spec, interpret=interpret)(

@@ -115,7 +115,7 @@ def test_csr_pna_stats_forward():
     msgs, row_ptr, recv, K = make_csr(rng)
     N = row_ptr.shape[0] - 1
     msgb = msgs.astype(jnp.bfloat16)
-    s1, mean, std, mx, mn = csr_pna_stats(msgb, row_ptr, recv, K, True)
+    s1, mean, std, mx, mn = csr_pna_stats(msgb, row_ptr, recv, None, K, True)
     ref = pna_multi_aggregate(msgb.astype(jnp.float32), recv, N,
                               ["sum", "mean", "std", "max", "min"])
     D = msgs.shape[1]
@@ -140,7 +140,7 @@ def test_csr_pna_stats_grad():
     w = 1.0 + 0.1 * jnp.arange(D)
     for k, name in enumerate(["sum", "mean", "std", "max", "min"]):
         def loss_pallas(m):
-            outs = csr_pna_stats(m, row_ptr, recv, K, True)
+            outs = csr_pna_stats(m, row_ptr, recv, None, K, True)
             return jnp.sum(outs[k].astype(jnp.float32) * w)
 
         def loss_ref(m):
@@ -172,7 +172,7 @@ def test_csr_pna_stats_tie_routing():
                        jnp.bfloat16)
 
     def loss(m, k):
-        return jnp.sum(csr_pna_stats(m, row_ptr, recv, 3, True)[k]
+        return jnp.sum(csr_pna_stats(m, row_ptr, recv, None, 3, True)[k]
                        .astype(jnp.float32))
 
     gmax = np.asarray(jax.grad(loss)(msgs, 3).astype(jnp.float32)).ravel()
@@ -271,8 +271,14 @@ def test_stats_bwd_kernel_interpret_parity(rng):
     A = (d_sum.astype(jnp.float32)
          + d_mean.astype(jnp.float32) * inv).astype(jnp.bfloat16)
     got = spmm._csr_stats_bwd_raw(
-        msgs, g.receivers, rp, (A, B, mean, d_mx, d_mn, enc),
+        msgs, g.receivers, rp, g.extras["csr_pos"],
+        (A, B, mean, d_mx, d_mn, enc), bs, True)
+    # the in-jit pos fallback (no batcher csr_pos) must agree
+    got_nopos = spmm._csr_stats_bwd_raw(
+        msgs, g.receivers, rp, None, (A, B, mean, d_mx, d_mn, enc),
         bs, True)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(got_nopos, np.float32))
 
     # reference: the same gather formula in an f32 chain with ONE final
     # bf16 cast — the kernel's arithmetic (on v5e hardware the XLA gather
@@ -399,3 +405,72 @@ def test_edge_combine_kernel_interpret_parity(rng):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=0.02, atol=0.02, err_msg=nm)
+
+
+def test_window_clamp_no_slack_pad(rng):
+    """The node-window kernels (stats backward, edge combine) clamp their
+    window start to rows-TNW when N is 8-aligned instead of slack-padding
+    the operand array (the +TNW pad was a full [N, 6D] HBM copy).  This
+    case forces the clamp: the last edge block touches only nodes near
+    N-1, so its unclamped window [bns, bns+TNW) would overrun the array."""
+    import jax.numpy as jnp
+
+    from infomax3d_tpu.ops.pallas import spmm
+
+    N, TNW, D = 256, 128, 40
+    maxdeg = 8
+    # block 1 (TE=128 edges): receivers 0..63 deg 2; block 2: receivers
+    # 240..255 deg 8 -> bns=240 > N-TNW=128 -> clamp active
+    recv = np.concatenate([np.repeat(np.arange(64), 2),
+                           np.repeat(np.arange(240, 256), 8)]).astype(np.int32)
+    E = recv.shape[0]
+    assert E == 2 * spmm.CSR_TILE_E
+    rp = np.zeros(N + 1, np.int32)
+    np.cumsum(np.bincount(recv, minlength=N), out=rp[1:])
+    recv_j = jnp.asarray(recv)
+    rp_j = jnp.asarray(rp)
+
+    msgs = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32),
+                       jnp.bfloat16)
+    s1, mean, std, mx, mn, enc = spmm._csr_stats_mailbox_raw(
+        msgs, rp_j, maxdeg)
+    cts = [jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+           for _ in range(5)]
+    d_sum, d_mean, d_std, d_mx, d_mn = [c.astype(jnp.bfloat16) for c in cts]
+    deg = (rp_j[1:] - rp_j[:-1]).astype(jnp.float32)[:, None]
+    inv = 1.0 / jnp.maximum(deg, 1.0)
+    std_safe = jnp.maximum(std.astype(jnp.float32), jnp.sqrt(spmm.EPS))
+    B = (d_std.astype(jnp.float32) * inv / std_safe).astype(jnp.bfloat16)
+    A = (d_sum.astype(jnp.float32)
+         + d_mean.astype(jnp.float32) * inv).astype(jnp.bfloat16)
+    got = spmm._csr_stats_bwd_raw(
+        msgs, recv_j, rp_j, None, (A, B, mean, d_mx, d_mn, enc), TNW, True)
+
+    packed = jnp.concatenate([A, B, mean, d_mx, d_mn, enc], axis=1)
+    rows = jnp.take(packed, recv_j, axis=0).astype(jnp.float32)
+    Ae, Be, mean_e, dmx_e, dmn_e, enc_e = [
+        jax.lax.dynamic_slice_in_dim(rows, k * D, D, axis=1)
+        for k in range(6)]
+    amin_e = jnp.floor(enc_e / 16.0)
+    amax_e = enc_e - 16.0 * amin_e
+    d_msg = Ae + Be * (msgs.astype(jnp.float32) - mean_e)
+    pos = (jnp.arange(E, dtype=jnp.float32)
+           - jnp.take(rp_j, recv_j).astype(jnp.float32))[:, None]
+    d_msg = d_msg + dmx_e * (pos == amax_e)
+    d_msg = d_msg + dmn_e * (pos == amin_e)
+    want = d_msg.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+    # edge combine: senders one below receivers (span stays inside TNW)
+    send = np.maximum(recv - 1, 0).astype(np.int32)
+    send_j = jnp.asarray(send)
+    hd = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32), jnp.bfloat16)
+    hs = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32), jnp.bfloat16)
+    pe = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32), jnp.bfloat16)
+    got = spmm._csr_edge_combine_raw(hd, hs, pe, recv_j, send_j, TNW, True)
+    want = (jnp.take(hd, recv_j, axis=0).astype(jnp.float32)
+            + jnp.take(hs, send_j, axis=0).astype(jnp.float32)
+            + pe.astype(jnp.float32)).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
