@@ -377,6 +377,8 @@ class MLP(nn.Module):
     mid_batch_norm: bool = False
     last_batch_norm: bool = False
     batch_norm_momentum: float = 0.1
+    lazy_out: bool = False   # last BN -> AffinePart for an affine-aware
+                             # consumer (e.g. the Pallas stats kernel)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -386,7 +388,8 @@ class MLP(nn.Module):
         if self.layers <= 1:
             return FCLayer(self.out_dim, activation=self.last_activation,
                            batch_norm=self.last_batch_norm, dropout=self.dropout,
-                           batch_norm_momentum=self.batch_norm_momentum)(x, **kw)
+                           batch_norm_momentum=self.batch_norm_momentum,
+                           lazy_out=self.lazy_out)(x, **kw)
         # mid layers emit lazy AffineParts when batch-normed: the BN apply
         # folds into the NEXT FCLayer's matmul weights (see AffinePart)
         h = FCLayer(self.hidden_size, activation=self.mid_activation,
@@ -400,7 +403,8 @@ class MLP(nn.Module):
                         lazy_out=True)(h, **kw)
         return FCLayer(self.out_dim, activation=self.last_activation,
                        batch_norm=self.last_batch_norm, dropout=self.dropout,
-                       batch_norm_momentum=self.batch_norm_momentum)(h, **kw)
+                       batch_norm_momentum=self.batch_norm_momentum,
+                       lazy_out=self.lazy_out)(h, **kw)
 
 
 class MLPReadout(nn.Module):

@@ -74,12 +74,16 @@ class PNALayer(nn.Module):
             parts.append(jnp.sum((xs - xd) ** 2, axis=-1, keepdims=True))
         z = parts
 
+        # lazy_out: when the last pretrans layer is batch-normed, its BN
+        # apply stays a lazy AffinePart that pna_aggregate_parts folds into
+        # the Pallas stats kernel (or materializes on other paths)
         msg = MLP(out_dim=self.in_dim, hidden_size=self.in_dim,
                   layers=self.pretrans_layers, mid_activation=self.activation,
                   last_activation=self.last_activation, dropout=self.dropout,
                   mid_batch_norm=self.mid_batch_norm,
                   last_batch_norm=self.last_batch_norm,
                   batch_norm_momentum=self.batch_norm_momentum,
+                  lazy_out=True,
                   name="pretrans")(z, mask=g.edge_mask, deterministic=deterministic)
 
         agg_parts = pna_aggregate_parts(g, msg, self.aggregators,

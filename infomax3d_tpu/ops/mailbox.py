@@ -247,7 +247,11 @@ def pna_aggregate_parts(g, messages, aggregators, scalers, avg_d_log=1.0):
     """`pna_aggregate` for a SplitDense consumer: on the Pallas CSR path the
     aggregator/scaler blocks come back as lazy parts (no [N, A*S*D] concat or
     scaled copies hit HBM); other paths return the single concatenated
-    tensor as a one-element list."""
+    tensor as a one-element list.
+
+    `messages` may be a lazy AffinePart (the pretrans MLP's last BN): the
+    CSR path folds it into the stats kernel; other paths materialize."""
+    from infomax3d_tpu.models.base import AffinePart
     if has_csr(g) and set(aggregators) <= _PALLAS_AGGS:
         from infomax3d_tpu.ops.pallas.spmm import pna_csr_aggregate_parts
         K = g.extras["mb_in_edges"].shape[1]
@@ -259,6 +263,10 @@ def pna_aggregate_parts(g, messages, aggregators, scalers, avg_d_log=1.0):
             tile_win=0 if tw is None else tw.shape[0],
             bwd_span=0 if bs is None else bs.shape[0],
             pos=g.extras.get("csr_pos"))
+    if isinstance(messages, AffinePart):
+        import jax.numpy as _jnp
+        messages = (messages.x.astype(_jnp.float32) * messages.scale
+                    + messages.shift).astype(messages.x.dtype)
     return [pna_aggregate(g, messages, aggregators, scalers, avg_d_log)]
 
 

@@ -232,8 +232,21 @@ def preflight_stats_kernel() -> bool:
         out = jax.jit(
             lambda m, rp, rc: csr_pna_stats(m, rp, rc, max_deg=deg))(
             msgs, row_ptr, recv)
-        jax.block_until_ready(out)
-        _STATS_KERNEL_OK = bool(jnp.isfinite(out[0]).all())
+        # the affine-folded variant compiles a distinct Mosaic kernel —
+        # gate it with the same preflight (fwd AND bwd)
+        aff = (jnp.asarray(np.linspace(0.5, 1.5, D, dtype=np.float32)),
+               jnp.asarray(np.linspace(-0.5, 0.5, D, dtype=np.float32)))
+
+        def _loss(m, rp, rc, aff):
+            outs = csr_pna_stats(m, rp, rc, max_deg=deg, bwd_span=128,
+                                 affine=aff)
+            return sum(o.astype(jnp.float32).sum() for o in outs)
+
+        ga = jax.jit(jax.grad(_loss, argnums=(0, 3)))(
+            msgs, row_ptr, recv, aff)
+        jax.block_until_ready((out, ga))
+        _STATS_KERNEL_OK = bool(jnp.isfinite(out[0]).all()
+                                & jnp.isfinite(ga[0]).all())
     except Exception as e:             # Mosaic/XLA compile or runtime error
         print(f"stats-kernel preflight failed ({type(e).__name__}): "
               f"falling back to csr_multi_reduce")
@@ -259,11 +272,11 @@ def _use_stats_kernel(messages, max_deg: int = 0) -> bool:
 
 
 def _stats_outs(messages, row_ptr, receivers, max_deg, aggregators, has,
-                interpret, tile_win=0, bwd_span=0, pos=None):
+                interpret, tile_win=0, bwd_span=0, pos=None, affine=None):
     s1, mean, std, mx, mn = csr_pna_stats(messages, row_ptr, receivers,
                                           pos, max_deg, interpret, tile_win,
                                           bwd_span,
-                                          "sum" in aggregators)
+                                          "sum" in aggregators, affine)
     outs = {}
     for a in aggregators:
         if a == "sum":
@@ -358,8 +371,15 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
     the aggregator concat nor the degree-scaled copies are materialized —
     each block becomes a ScaledPart(agg, scale) consumed lazily by the
     posttrans SplitDense (row scaling commutes with the right-matmul).
-    Value-identical to running the concat version through nn.Dense."""
-    from infomax3d_tpu.models.base import ScaledPart
+    Value-identical to running the concat version through nn.Dense.
+
+    `messages` may be a lazy AffinePart (pretrans BN-apply): the stats
+    kernel folds the column affine in-register, so the normalized [E, D]
+    message tensor never hits HBM.  Non-kernel paths materialize it."""
+    from infomax3d_tpu.models.base import AffinePart, ScaledPart
+    affine = None
+    if isinstance(messages, AffinePart):
+        messages, affine = messages.x, (messages.scale, messages.shift)
     deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
     deg_safe = jnp.maximum(deg, 1.0)
     has = deg > 0
@@ -370,8 +390,11 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
         # double-buffered window DMA)
         outs = _stats_outs(messages, row_ptr, receivers, max_deg,
                            aggregators, has, interpret, tile_win, bwd_span,
-                           pos)
+                           pos, affine)
     else:
+        if affine is not None:
+            messages = (messages.astype(jnp.float32) * affine[0]
+                        + affine[1]).astype(messages.dtype)
         outs = _reduce_outs(messages, row_ptr, receivers, max_deg,
                             aggregators, deg_safe, has, interpret)
     aggs = [jnp.asarray(outs[a], messages.dtype) for a in aggregators]
@@ -394,8 +417,17 @@ def pna_csr_aggregate_parts(messages, row_ptr, receivers, max_deg: int,
     return parts
 
 
+def _stats_kernel_aff(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, aff_ref,
+                      out_ref, win_ref, sems, **kw):
+    """_stats_kernel with a folded column affine (see AffinePart): the
+    4th input is [2, DC] f32 — row 0 scale, row 1 shift."""
+    _stats_kernel(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, out_ref,
+                  win_ref, sems, aff_ref=aff_ref, **kw)
+
+
 def _stats_kernel(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, out_ref,
-                  win_ref, sems, *, TN, DC, WIN, K, E, NT, want_sum):
+                  win_ref, sems, *, TN, DC, WIN, K, E, NT, want_sum,
+                  aff_ref=None):
     """bf16 fused-stats variant: emits the FINAL PNA aggregates
     (sum, mean, std, max, min) in bf16 — the mean/std node-side chains the
     f32 kernel leaves to XLA (7 layers x ~0.15 ms of [N, D] f32 elementwise)
@@ -442,6 +474,13 @@ def _stats_kernel(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, out_ref,
 
     dma(slot, i).wait()
     win = win_ref[slot]                                        # [WIN, DC] bf16
+    if aff_ref is not None:
+        # folded BatchNorm apply (AffinePart): the effective messages are
+        # m = x*a + b per column, computed in-register and bf16-rounded —
+        # value-identical to materializing bf16 m in HBM, without the
+        # [E, D] apply pass (58 us/layer measured on v5e)
+        win = (win.astype(jnp.float32) * aff_ref[0:1, :]
+               + aff_ref[1:2, :]).astype(jnp.bfloat16)
     # exact bf16 sums: 0/1 incidence is exact in bf16, one DEFAULT pass
     # accumulates in f32; sumsq via hi/lo split (see _kernel)
     incb = inc.astype(jnp.bfloat16)
@@ -510,7 +549,7 @@ def _stats_kernel(row_ptr_ref, msg_hbm, rp_lo_ref, rp_hi_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool,
-                   tile_win: int = 0, want_sum: bool = True):
+                   tile_win: int = 0, want_sum: bool = True, affine=None):
     """Returns (sum | None, mean, std, max, min, enc), each bf16 [N, D]
     (`enc` = argmax_slot + 16*argmin_slot, exact for max_deg <= 16).
     bf16 messages only; D <= 512 (the double-buffered window must fit one
@@ -549,19 +588,34 @@ def _csr_stats_raw(messages, row_ptr, max_deg: int, interpret: bool,
     rp_hi = row_ptr[1:].reshape(Np, 1)
     rp_spec = pl.BlockSpec((TN, 1), lambda i, *_: (i, 0),
                            memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), rp_spec, rp_spec]
+    inputs = [row_ptr, messages, rp_lo, rp_hi]
+    if affine is not None:
+        a, b = affine
+        aff = jnp.stack([a.astype(jnp.float32), b.astype(jnp.float32)])
+        if aff.shape[1] < DC:
+            # pad scale with ONES so the bf16 round of padded lanes stays
+            # the identity (they are sliced away, but keep them sane)
+            aff = jnp.concatenate(
+                [aff, jnp.stack([jnp.ones(DC - aff.shape[1], jnp.float32),
+                                 jnp.zeros(DC - aff.shape[1],
+                                           jnp.float32)])], axis=1)
+        in_specs.append(pl.BlockSpec((2, DC), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(aff)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NT,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), rp_spec, rp_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((4, WIN, DC), messages.dtype),
                         pltpu.SemaphoreType.DMA((4,))],
     )
-    kernel = functools.partial(_stats_kernel, TN=TN, DC=DC, WIN=WIN,
+    body = _stats_kernel if affine is None else _stats_kernel_aff
+    kernel = functools.partial(body, TN=TN, DC=DC, WIN=WIN,
                                K=max_deg, E=Ep, NT=NT, want_sum=want_sum)
     fat = pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
-                         interpret=interpret)(row_ptr, messages, rp_lo,
-                                              rp_hi)
+                         interpret=interpret)(*inputs)
     secs = tuple(fat[:N, k * DC:k * DC + D] for k in range(NSEC))
     return (secs if want_sum else (None,) + secs)
 
@@ -631,17 +685,21 @@ def _stats_impl() -> str:
 
 
 def _stats_raw_dispatch(messages, row_ptr, max_deg, interpret, tile_win=0,
-                        want_sum=True):
+                        want_sum=True, affine=None):
     if _stats_impl() == "pallas":
         return _csr_stats_raw(messages, row_ptr, max_deg, interpret,
-                              tile_win, want_sum)
+                              tile_win, want_sum, affine)
+    if affine is not None:
+        a, b = affine
+        messages = (messages.astype(jnp.float32) * a
+                    + b).astype(messages.dtype)
     return _csr_stats_mailbox_raw(messages, row_ptr, max_deg)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def csr_pna_stats(messages, row_ptr, receivers, pos=None, max_deg: int = 0,
                   interpret: bool = False, tile_win: int = 0,
-                  bwd_span: int = 0, want_sum: bool = True):
+                  bwd_span: int = 0, want_sum: bool = True, affine=None):
     """(sum, mean, std, max, min) — all bf16 — with an analytic bf16
     backward: d_msg = A[r] + B[r]*msg + eq_max*d_max[r] + eq_min*d_min[r]
     where A/B are cheap node-side combinations of the cotangents.  The relu
@@ -652,7 +710,7 @@ def csr_pna_stats(messages, row_ptr, receivers, pos=None, max_deg: int = 0,
     returned `sum` slot is then the reconstruction mean*deg (bf16-rounded —
     only request it when no aggregator consumes sum)."""
     s1, mean, std, mx, mn, _ = _stats_raw_dispatch(
-        messages, row_ptr, max_deg, interpret, tile_win, want_sum)
+        messages, row_ptr, max_deg, interpret, tile_win, want_sum, affine)
     if s1 is None:
         deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
         s1 = (mean.astype(jnp.float32) * deg).astype(mean.dtype)
@@ -660,18 +718,19 @@ def csr_pna_stats(messages, row_ptr, receivers, pos=None, max_deg: int = 0,
 
 
 def _stats_fwd(messages, row_ptr, receivers, pos=None, max_deg=0,
-               interpret=False, tile_win=0, bwd_span=0, want_sum=True):
+               interpret=False, tile_win=0, bwd_span=0, want_sum=True,
+               affine=None):
     s1, mean, std, mx, mn, enc = _stats_raw_dispatch(
-        messages, row_ptr, max_deg, interpret, tile_win, want_sum)
+        messages, row_ptr, max_deg, interpret, tile_win, want_sum, affine)
     if s1 is None:
         deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
         s1 = (mean.astype(jnp.float32) * deg).astype(mean.dtype)
     return ((s1, mean, std, mx, mn),
-            (messages, receivers, row_ptr, pos, mean, std, enc))
+            (messages, receivers, row_ptr, pos, mean, std, enc, affine))
 
 
 def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
-    messages, receivers, row_ptr, pos, mean, std, enc = res
+    messages, receivers, row_ptr, pos, mean, std, enc, affine = res
     d_sum, d_mean, d_std, d_mx, d_mn = cots
     N = mean.shape[0]
     deg = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.float32)[:, None]
@@ -693,11 +752,12 @@ def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
         # materialization in edge space (node operands stream through ONE
         # packed per-block window; the node->edge broadcast is a single
         # one-hot MXU matmul)
-        d_msg = _csr_stats_bwd_raw(
+        d_msg, d_a, d_b = _csr_stats_bwd_raw(
             messages, receivers, row_ptr, pos,
             (A.astype(dt), B.astype(dt), mean, d_mx.astype(dt),
-             d_mn.astype(dt), enc), bwd_span, interpret)
-        return (d_msg, None, None, None)
+             d_mn.astype(dt), enc), bwd_span, interpret, affine)
+        d_aff = None if affine is None else (d_a, d_b)
+        return (d_msg, None, None, None, d_aff)
     # TPU gathers are ROW-bound (~same cost at width 200 or 1400), so the
     # six node-side operands ride ONE wide gather: concat in node space
     # (N rows, cheap) then take in edge space (E rows, the expensive part)
@@ -711,7 +771,14 @@ def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
     enc_f = enc_e.astype(jnp.float32)
     amin_e = jnp.floor(enc_f / 16.0)
     amax_e = enc_f - 16.0 * amin_e
-    d_msg = Ae + Be * (messages - mean_e)
+    if affine is not None:
+        # messages are pre-affine x; the formula runs on m = x*a + b
+        # (bf16-rounded, matching the forward's in-register apply)
+        aa, ab = affine
+        m_eff = (messages.astype(jnp.float32) * aa + ab).astype(dt)
+    else:
+        m_eff = messages
+    d_msg = Ae + Be * (m_eff - mean_e)
     # single-winner extremum routing: the kernel recorded each node's
     # argmax/argmin SLOT (packed as enc = amax + 16*amin), and an edge's
     # slot is its position within its node's CSR range — the cotangent goes
@@ -724,7 +791,14 @@ def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
     d_msg = d_msg + dmx_e * (pos == amax_e)
     d_msg = d_msg + dmn_e * (pos == amin_e)
     valid = (receivers < N)[:, None]
-    return (jnp.where(valid, d_msg, 0).astype(dt), None, None, None)
+    d_msg = jnp.where(valid, d_msg, 0)
+    if affine is not None:
+        d_mf = d_msg.astype(jnp.float32)
+        d_a = (d_mf * messages.astype(jnp.float32)).sum(axis=0)
+        d_b = d_mf.sum(axis=0)
+        return ((d_msg.astype(jnp.float32) * aa).astype(dt),
+                None, None, None, (d_a, d_b))
+    return (d_msg.astype(dt), None, None, None, None)
 
 
 csr_pna_stats.defvjp(_stats_fwd, _stats_bwd)
@@ -1088,8 +1162,21 @@ def csr_mean(messages, row_ptr, receivers, max_deg: int, interpret=False):
     return (s1 / jnp.maximum(deg, 1.0)).astype(messages.dtype)
 
 
+def _stats_bwd_kernel_aff(bns_ref, ops_hbm, msg_ref, recv_ref, pos_ref,
+                          aff_ref, out_ref, pa_ref, pb_ref, w_ops, sems,
+                          **kw):
+    """_stats_bwd_kernel with a folded column affine: messages input is the
+    pre-affine x, aff is [2, DC] f32 (scale, shift); emits per-block
+    column partials pa = sum(d_m * x), pb = sum(d_m) for the affine's own
+    cotangents, and scales the returned d_x by the affine scale."""
+    _stats_bwd_kernel(bns_ref, ops_hbm, msg_ref, recv_ref, pos_ref, out_ref,
+                      w_ops, sems, aff_ref=aff_ref, pa_ref=pa_ref,
+                      pb_ref=pb_ref, **kw)
+
+
 def _stats_bwd_kernel(bns_ref, ops_hbm, msg_ref, recv_ref, pos_ref, out_ref,
-                      w_ops, sems, *, TE, TNW, DC, N, NT, LIM):
+                      w_ops, sems, *, TE, TNW, DC, N, NT, LIM,
+                      aff_ref=None, pa_ref=None, pb_ref=None):
     """Edge-block stats backward: ONE packed node-window DMA per block, the
     node->edge broadcast of all six operands rides a single one-hot MXU
     matmul — the [N, 6D] gather materialization in edge space of the XLA
@@ -1151,21 +1238,36 @@ def _stats_bwd_kernel(bns_ref, ops_hbm, msg_ref, recv_ref, pos_ref, out_ref,
     amax_e = enc_e - 16.0 * amin_e
 
     msg = msg_ref[:].astype(jnp.float32)                      # [TE, DC]
+    if aff_ref is not None:
+        # messages input is pre-affine x; the formula runs on the
+        # bf16-rounded m = x*a + b (matching the forward's in-register
+        # apply)
+        x = msg
+        msg = (x * aff_ref[0:1, :] + aff_ref[1:2, :]) \
+            .astype(jnp.bfloat16).astype(jnp.float32)
     d = a_e + b_e * (msg - mean_e)
     d = d + dmx_e * (pos == amax_e)
     d = d + dmn_e * (pos == amin_e)
     valid = (recv >= 0) & (recv < N)
-    out_ref[:] = jnp.where(valid, d, 0.0).astype(jnp.bfloat16)
+    d = jnp.where(valid, d, 0.0)
+    if aff_ref is not None:
+        pa_ref[:] = jnp.pad((d * x).sum(axis=0, keepdims=True),
+                            ((0, 7), (0, 0)))
+        pb_ref[:] = jnp.pad(d.sum(axis=0, keepdims=True), ((0, 7), (0, 0)))
+        d = d * aff_ref[0:1, :]
+    out_ref[:] = d.astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def _csr_stats_bwd_raw(messages, receivers, row_ptr, pos, operands,
-                       bwd_span: int, interpret: bool):
+                       bwd_span: int, interpret: bool, affine=None):
     """operands = (A, B, mean, d_mx, d_mn, enc) node-side bf16 [N, D]
     (A/B already combined and enc = amax + 16*amin from the forward, see
     _stats_bwd).  `pos` is the batcher-precomputed per-edge CSR slot
     (csr_pos, int16, -1 on padding); None falls back to the in-jit gather.
-    Returns d_msg [E, D] bf16."""
+    Returns (d_msg [E, D] bf16, d_scale, d_shift) — the affine cotangents
+    are None unless `affine` (scale, shift) is given, in which case
+    `messages` is the pre-affine x (see csr_pna_stats)."""
     E, D = messages.shape
     N = row_ptr.shape[0] - 1
     TE = CSR_TILE_E
@@ -1214,25 +1316,39 @@ def _csr_stats_bwd_raw(messages, receivers, row_ptr, pos, operands,
     # receiver-sorted, so no searchsorted is needed)
     bns = jnp.clip(recv_p[::TE, 0], 0, N - 1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(NT,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((TE, 1), lambda t, *_: (t, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((TE, 1), lambda t, *_: (t, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TE, DC), lambda t, *_: (t, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((3, TNW, 6 * DC), jnp.bfloat16),
-                        pltpu.SemaphoreType.DMA((3,))],
-    )
-    kernel = functools.partial(_stats_bwd_kernel, TE=TE, TNW=TNW, DC=DC,
+    blk = lambda h, w: pl.BlockSpec((h, w), lambda t, *_: (t, 0),
+                                    memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), blk(TE, DC),
+                blk(TE, 1), blk(TE, 1)]
+    inputs = [bns, packed, msg_p, recv_p, pos]
+    out_shape = [jax.ShapeDtypeStruct((Ep, DC), jnp.bfloat16)]
+    out_specs = [blk(TE, DC)]
+    if affine is not None:
+        a, b = affine
+        aff = jnp.stack([a.astype(jnp.float32), b.astype(jnp.float32)])
+        if aff.shape[1] < DC:
+            aff = jnp.concatenate(
+                [aff, jnp.stack([jnp.ones(DC - aff.shape[1], jnp.float32),
+                                 jnp.zeros(DC - aff.shape[1],
+                                           jnp.float32)])], axis=1)
+        in_specs.append(pl.BlockSpec((2, DC), lambda t, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(aff)
+        # per-block column partials of the affine cotangents (8 sublane
+        # rows per block — Mosaic minimum; rows 1-7 are written zero)
+        out_shape += [jax.ShapeDtypeStruct((NT * 8, DC), jnp.float32)] * 2
+        out_specs += [blk(8, DC)] * 2
+    body = _stats_bwd_kernel if affine is None else _stats_bwd_kernel_aff
+    kernel = functools.partial(body, TE=TE, TNW=TNW, DC=DC,
                                N=N, NT=NT, LIM=LIM)
-    out = pl.pallas_call(
-        kernel, out_shape=jax.ShapeDtypeStruct((Ep, DC), jnp.bfloat16),
-        grid_spec=grid_spec, interpret=interpret)(
-        bns, packed, msg_p, recv_p, pos)
-    return out[:E, :D]
+    outs = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(NT,), in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((3, TNW, 6 * DC), jnp.bfloat16),
+                            pltpu.SemaphoreType.DMA((3,))]),
+        interpret=interpret)(*inputs)
+    if affine is not None:
+        return (outs[0][:E, :D], outs[1].sum(axis=0)[:D],
+                outs[2].sum(axis=0)[:D])
+    return outs[0][:E, :D], None, None

@@ -270,11 +270,11 @@ def test_stats_bwd_kernel_interpret_parity(rng):
     B = (d_std.astype(jnp.float32) * inv / std_safe).astype(jnp.bfloat16)
     A = (d_sum.astype(jnp.float32)
          + d_mean.astype(jnp.float32) * inv).astype(jnp.bfloat16)
-    got = spmm._csr_stats_bwd_raw(
+    got, _, _ = spmm._csr_stats_bwd_raw(
         msgs, g.receivers, rp, g.extras["csr_pos"],
         (A, B, mean, d_mx, d_mn, enc), bs, True)
     # the in-jit pos fallback (no batcher csr_pos) must agree
-    got_nopos = spmm._csr_stats_bwd_raw(
+    got_nopos, _, _ = spmm._csr_stats_bwd_raw(
         msgs, g.receivers, rp, None, (A, B, mean, d_mx, d_mn, enc),
         bs, True)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
@@ -443,7 +443,7 @@ def test_window_clamp_no_slack_pad(rng):
     B = (d_std.astype(jnp.float32) * inv / std_safe).astype(jnp.bfloat16)
     A = (d_sum.astype(jnp.float32)
          + d_mean.astype(jnp.float32) * inv).astype(jnp.bfloat16)
-    got = spmm._csr_stats_bwd_raw(
+    got, _, _ = spmm._csr_stats_bwd_raw(
         msgs, recv_j, rp_j, None, (A, B, mean, d_mx, d_mn, enc), TNW, True)
 
     packed = jnp.concatenate([A, B, mean, d_mx, d_mn, enc], axis=1)
@@ -474,3 +474,43 @@ def test_window_clamp_no_slack_pad(rng):
             + pe.astype(jnp.float32)).astype(jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(want, np.float32))
+
+
+def test_csr_pna_stats_affine_fold(rng):
+    """csr_pna_stats with a folded column affine (AffinePart): forward and
+    ALL gradients (x, scale, shift) match materializing m = x*a + b in bf16
+    first.  Exercised through both the Pallas fwd/bwd kernels (interpret)
+    and the full aggregate-parts entry."""
+    from infomax3d_tpu.ops.pallas.spmm import csr_pna_stats
+
+    msgs, row_ptr, recv, K = make_csr(rng, N=48, deg_max=6, D=40)
+    N = row_ptr.shape[0] - 1
+    D = msgs.shape[1]
+    x = msgs.astype(jnp.bfloat16)
+    a = jnp.asarray(0.5 + rng.random(D).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=D).astype(np.float32))
+    w = [jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+         for _ in range(5)]
+
+    def fused(x, a, b):
+        outs = csr_pna_stats(x, row_ptr, recv, None, K, True, 0, 128, True,
+                             (a, b))
+        return sum((o.astype(jnp.float32) * wi).sum()
+                   for o, wi in zip(outs, w))
+
+    def materialized(x, a, b):
+        m = (x.astype(jnp.float32) * a + b).astype(jnp.bfloat16)
+        outs = csr_pna_stats(m, row_ptr, recv, None, K, True)
+        return sum((o.astype(jnp.float32) * wi).sum()
+                   for o, wi in zip(outs, w))
+
+    v1 = fused(x, a, b)
+    v2 = materialized(x, a, b)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(fused, argnums=(0, 1, 2))(x, a, b)
+    g2 = jax.grad(materialized, argnums=(0, 1, 2))(x, a, b)
+    for got, want, nm in zip(g1, g2, ["x", "scale", "shift"]):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=0.03, atol=0.03, err_msg=nm)
