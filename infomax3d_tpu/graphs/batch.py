@@ -280,6 +280,29 @@ def batch_graphs(
         pos = (np.arange(receivers.shape[0], dtype=np.int32)
                - row_ptr[np.minimum(receivers, N)])
         out["csr_pos"] = np.where(receivers < N, pos, -1).astype(np.int16)
+        # node-tile csr PAIR windows: molecules are contiguous in csr
+        # order, so all edges SENT OR RECEIVED by a CSR_TILE_N-node tile
+        # live in one bounded csr index range — the sender-keyed /
+        # pair seg-sum backwards (ops/pallas/spmm.py::
+        # snd_segment_sum_bf16 / pair_segment_sum_bf16) window on these
+        # instead of gathering ct through csc_perm
+        ntt = (N + CSR_TILE_N - 1) // CSR_TILE_N
+        stile = np.minimum(senders, N) // CSR_TILE_N
+        slo = np.full(ntt + 1, np.iinfo(np.int64).max, np.int64)
+        shi = np.full(ntt + 1, -1, np.int64)
+        sval = senders < N
+        eidx = np.arange(senders.shape[0], dtype=np.int64)
+        np.minimum.at(slo, stile[sval], eidx[sval])
+        np.maximum.at(shi, stile[sval], eidx[sval])
+        tns = np.arange(ntt) * CSR_TILE_N
+        lo_in = row_ptr[tns].astype(np.int64)
+        hi_in = row_ptr[np.minimum(tns + CSR_TILE_N, N)].astype(np.int64) - 1
+        plo = np.minimum(np.where(shi[:ntt] >= 0, slo[:ntt], lo_in), lo_in)
+        phi = np.maximum(shi[:ntt], hi_in)
+        pspan = np.maximum(phi - plo + 1, 1)
+        pwin = max(128, int(np.ceil((int(pspan.max()) + 8) / 128)) * 128)
+        out["csr_pair_base"] = plo.astype(np.int32)
+        out["csr_pair_win"] = np.zeros(pwin, np.int8)
         # combine-kernel node window: max span of touched nodes (receivers
         # AND senders) under any TILE_E consecutive real edges — sizes the
         # fused edge-combine kernel's packed window (ops/pallas/spmm.py::
@@ -345,6 +368,7 @@ def to_graph_batch(arrays: Dict[str, np.ndarray], extras_keys: Sequence[str] = (
     for k in ("mb_in_edges", "mb_in_mask", "mb_edge_slot", "mb_out_edges",
               "mb_out_mask", "mb_out_slot", "csr_row_ptr", "csr_tile_win", "csr_bwd_span",
               "csc_perm", "csc_row_ptr", "csc_tile_win", "csr_cmb_span", "csr_pos",
+              "csr_pair_base", "csr_pair_win",
               "rd_node_idx", "rd_inv_flat",
               "in_degree"):
         if k in arrays:

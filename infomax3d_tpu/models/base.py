@@ -160,6 +160,9 @@ class GatherPart(NamedTuple):
     cmb_span: int = 0       # static; >0 enables the fused edge-combine
                             # kernel when a src+dst GatherPart pair meets
                             # in one SplitDense (csr_cmb_span marker)
+    snd_base: Optional[jnp.ndarray] = None  # per-node-tile csr window base
+    snd_win: int = 0        # static; >0 enables the sender-keyed seg-sum
+                            # backward (no csc permutation gather)
 
 
 class ScaledPart(NamedTuple):
@@ -235,7 +238,8 @@ class SplitDense(nn.Module):
             if isinstance(p, GatherPart):
                 from infomax3d_tpu.ops.segment import take_rows
                 t = take_rows(p.nodes @ k, p.idx, p.indices_sorted, p.row_ptr,
-                              p.perm, p.max_deg, p.tile_win)
+                              p.perm, p.max_deg, p.tile_win, p.snd_base,
+                              p.snd_win)
             elif isinstance(p, AffinePart):
                 # fold the column affine into the weight block: the scaled
                 # kernel is [D, F] (tiny), the [rows, D] apply never runs
@@ -319,8 +323,8 @@ class SplitDense(nn.Module):
         hs = src.nodes @ slices[id(src)]
         return csr_edge_combine(
             hd, hs, pe, dst.idx, src.idx, dst.row_ptr, src.row_ptr,
-            src.perm, dst.max_deg, dst.tile_win, src.tile_win,
-            dst.cmb_span)
+            src.perm, src.snd_base, dst.max_deg, dst.tile_win,
+            src.tile_win, dst.cmb_span, False, src.snd_win)
 
 
 class FCLayer(nn.Module):

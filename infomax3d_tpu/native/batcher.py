@@ -166,6 +166,26 @@ def pack_batch_native(graphs: Sequence[Dict[str, np.ndarray]], bucket,
         pos = (np.arange(recv_sorted.shape[0], dtype=np.int32)
                - csr_row_ptr[np.minimum(recv_sorted, N)])
         out["csr_pos"] = np.where(recv_sorted < N, pos, -1).astype(np.int16)
+        # node-tile csr PAIR windows (see graphs/batch.py)
+        snd_all = out["senders"]
+        ntt = (N + CSR_TILE_N - 1) // CSR_TILE_N
+        stile = np.minimum(snd_all, N) // CSR_TILE_N
+        slo = np.full(ntt + 1, np.iinfo(np.int64).max, np.int64)
+        shi = np.full(ntt + 1, -1, np.int64)
+        sval = snd_all < N
+        eidx = np.arange(snd_all.shape[0], dtype=np.int64)
+        np.minimum.at(slo, stile[sval], eidx[sval])
+        np.maximum.at(shi, stile[sval], eidx[sval])
+        tns = np.arange(ntt) * CSR_TILE_N
+        lo_in = csr_row_ptr[tns].astype(np.int64)
+        hi_in = csr_row_ptr[np.minimum(tns + CSR_TILE_N, N)] \
+            .astype(np.int64) - 1
+        plo = np.minimum(np.where(shi[:ntt] >= 0, slo[:ntt], lo_in), lo_in)
+        phi = np.maximum(shi[:ntt], hi_in)
+        pspan = np.maximum(phi - plo + 1, 1)
+        pwin = max(128, int(np.ceil((int(pspan.max()) + 8) / 128)) * 128)
+        out["csr_pair_base"] = plo.astype(np.int32)
+        out["csr_pair_win"] = np.zeros(pwin, np.int8)
         send_sorted = out["senders"]
         cspans = [1]
         for st in range(0, e_real, CSR_TILE_E):

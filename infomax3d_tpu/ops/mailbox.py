@@ -306,10 +306,13 @@ def gather_parts(g, h):
     cw = g.extras.get("csc_tile_win")
     cs = g.extras.get("csr_cmb_span")
     cspan = 0 if cs is None else cs.shape[0]
+    sw = g.extras.get("csr_pair_win")
     src = GatherPart(h, g.senders, row_ptr=g.extras.get("csc_row_ptr"),
                      perm=g.extras.get("csc_perm"), max_deg=K,
                      tile_win=0 if cw is None else cw.shape[0],
-                     cmb_span=cspan)
+                     cmb_span=cspan,
+                     snd_base=g.extras.get("csr_pair_base"),
+                     snd_win=0 if sw is None else sw.shape[0])
     dst = GatherPart(h, g.receivers, indices_sorted=has_csr(g), row_ptr=rp,
                      max_deg=K, tile_win=0 if tw is None else tw.shape[0],
                      cmb_span=cspan)
@@ -327,10 +330,13 @@ def gather_src(g, h):
     if has_csr(g):
         from infomax3d_tpu.ops.segment import take_rows
         cw = g.extras.get("csc_tile_win")
+        sw = g.extras.get("csr_pair_win")
         return take_rows(h, g.senders, False,
                          g.extras["csc_row_ptr"], g.extras["csc_perm"],
                          g.extras["mb_in_edges"].shape[1],
-                         0 if cw is None else cw.shape[0])
+                         0 if cw is None else cw.shape[0],
+                         g.extras.get("csr_pair_base"),
+                         0 if sw is None else sw.shape[0])
     return jnp.take(h, g.senders.clip(0, g.num_nodes - 1), axis=0)
 
 

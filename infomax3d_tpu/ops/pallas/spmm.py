@@ -902,6 +902,179 @@ def csr_segment_sum_bf16(ct, row_ptr, max_deg: int, tile_win: int = 0,
     return _csr_seg_sum_raw(ct, row_ptr, max_deg, interpret, tile_win)
 
 
+def _snd_seg_sum_kernel(base_ref, ct_hbm, rp_lo_ref, rp_hi_ref, out_refs,
+                        w_ct, sems, *, TN, DC, WIN, NT, LIM, want_recv):
+    """Segment-sum keyed by SENDER directly over receiver-sorted (CSR) edge
+    rows: d_hs[n] = sum over {e : senders[e] == n} of ct[e] — replacing the
+    CSC path's [E, D] permutation gather (take(ct, csc_perm), ~58 us/layer
+    on v5e) + sorted seg-sum.  Molecules are contiguous in csr order, so
+    all edges SENT by a TN-node tile live in a bounded csr window
+    (batcher-measured csr_pair_base / csr_pair_win).
+
+    The sender ids ride in two spare LANES of the lane-padded ct window
+    (hi = s // 128, lo = s % 128, both exact in bf16) — no second DMA
+    stream and no lane-alignment constraints.  With `want_recv`, the SAME
+    window also yields d_hd (receiver seg-sum from the row_ptr incidence):
+    the window bytes — the dominant cost — are paid once for both halves
+    of the edge-combine backward."""
+    i = pl.program_id(0)
+
+    def _b(tile):
+        v = (base_ref[tile] // 8) * 8
+        if LIM >= 0:
+            v = jnp.minimum(v, LIM)
+        return pl.multiple_of(v, 8)
+
+    def dma(slot, tile):
+        return pltpu.make_async_copy(
+            ct_hbm.at[pl.ds(_b(tile), WIN), :], w_ct.at[slot],
+            sems.at[slot])
+
+    NSLOT = 4
+    slot = jax.lax.rem(i, NSLOT)
+
+    @pl.when(i == 0)
+    def _():
+        for a in range(NSLOT - 1):
+            if a < NT:
+                dma(a, a).start()
+
+    @pl.when(i + NSLOT - 1 < NT)
+    def _():
+        dma(jax.lax.rem(i + NSLOT - 1, NSLOT), i + NSLOT - 1).start()
+
+    dma(slot, i).wait()
+    win = w_ct[slot]                                           # [WIN, DC+128]
+    vals = win[:, :DC]
+    snd = (win[:, DC:DC + 1].astype(jnp.float32) * 128.0
+           + win[:, DC + 1:DC + 2].astype(jnp.float32))        # [WIN, 1]
+    nid = (i * TN
+           + jax.lax.broadcasted_iota(jnp.int32, (WIN, TN), 1)) \
+        .astype(jnp.float32)
+    inc_wt = (snd == nid).astype(jnp.bfloat16)                 # [WIN, TN]
+    d_hs = jax.lax.dot_general(inc_wt, vals, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    if want_recv:
+        base = _b(i)
+        starts = rp_lo_ref[:] - base                           # [TN, 1]
+        ends = rp_hi_ref[:] - base
+        eidx = jax.lax.broadcasted_iota(jnp.int32, (TN, WIN), 1)
+        inc_r = ((eidx >= starts) & (eidx < ends)).astype(jnp.bfloat16)
+        d_hd = jnp.dot(inc_r, vals, preferred_element_type=jnp.float32)
+        out_refs[0][:] = d_hd.astype(out_refs[0].dtype)
+        out_refs[1][:] = d_hs.astype(out_refs[1].dtype)
+    else:
+        out_refs[:] = d_hs.astype(out_refs.dtype)
+
+
+def _snd_kernel_norecv(base_ref, ct_hbm, out_ref, w_ct, sems, **kw):
+    _snd_seg_sum_kernel(base_ref, ct_hbm, None, None, out_ref, w_ct, sems,
+                        want_recv=False, **kw)
+
+
+def _snd_kernel_pair(base_ref, ct_hbm, rp_lo_ref, rp_hi_ref, dhd_ref,
+                     dhs_ref, w_ct, sems, **kw):
+    _snd_seg_sum_kernel(base_ref, ct_hbm, rp_lo_ref, rp_hi_ref,
+                        (dhd_ref, dhs_ref), w_ct, sems, want_recv=True,
+                        **kw)
+
+
+def _snd_augment(ct, senders, D, DC, WIN):
+    """Lane-pad ct to [Ep, DC+128] with sender ids encoded in lanes
+    DC / DC+1 (hi/lo bf16, exact for N < 2^15) — one pad-write, which the
+    plain lane pad would have cost anyway."""
+    E = ct.shape[0]
+    NBIG = jnp.iinfo(jnp.int32).max // 4
+    snd = jnp.pad(senders.astype(jnp.int32), (0, max(0, WIN - E)),
+                  constant_values=NBIG)
+    Ep0 = snd.shape[0]
+    if Ep0 % 8:
+        snd = jnp.pad(snd, (0, 8 - Ep0 % 8), constant_values=NBIG)
+    Ep = snd.shape[0]
+    hi = (snd // 128).astype(jnp.bfloat16)[:, None]
+    lo = (snd % 128).astype(jnp.bfloat16)[:, None]
+    ct = ct.astype(jnp.bfloat16)
+    if Ep > E:
+        ct = jnp.pad(ct, ((0, Ep - E), (0, 0)))
+    parts = [ct]
+    if D < DC:
+        parts.append(jnp.zeros((Ep, DC - D), jnp.bfloat16))
+    parts += [hi, lo, jnp.zeros((Ep, 126), jnp.bfloat16)]
+    return jnp.concatenate(parts, axis=1), Ep
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def snd_segment_sum_bf16(ct, senders, pair_base, pair_win: int,
+                         interpret: bool = False):
+    """bf16 [E, D] -> [NTt*TILE_N, D] sum keyed by `senders` over
+    csr-ordered rows (see _snd_seg_sum_kernel); caller slices [:N]."""
+    E, D = ct.shape
+    TN = CSR_TILE_N
+    NTt = pair_base.shape[0]
+    DC = ((D + 127) // 128) * 128
+    WIN = pair_win
+    cta, Ep = _snd_augment(ct, senders, D, DC, WIN)
+    LIM = Ep - WIN
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NTt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((TN, DC), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((4, WIN, DC + 128), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((4,))],
+    )
+    kernel = functools.partial(_snd_kernel_norecv, TN=TN, DC=DC, WIN=WIN,
+                               NT=NTt, LIM=LIM)
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((NTt * TN, DC), jnp.bfloat16),
+        grid_spec=grid_spec, interpret=interpret)(pair_base, cta)
+    return out[:, :D]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def pair_segment_sum_bf16(ct, senders, row_ptr, pair_base, pair_win: int,
+                          interpret: bool = False):
+    """(d_hd, d_hs) — receiver- AND sender-keyed segment sums of ct over
+    csr-ordered rows from ONE window stream (the edge-combine backward
+    pair).  Returns [N, D] each (N from row_ptr)."""
+    E, D = ct.shape
+    N = row_ptr.shape[0] - 1
+    TN = CSR_TILE_N
+    NTt = pair_base.shape[0]
+    DC = ((D + 127) // 128) * 128
+    WIN = pair_win
+    cta, Ep = _snd_augment(ct, senders, D, DC, WIN)
+    LIM = Ep - WIN
+    rp = row_ptr
+    if N % TN:
+        rp = jnp.concatenate(
+            [rp, jnp.full(NTt * TN - N, rp[-1], rp.dtype)])
+    rp_lo = rp[:-1].reshape(NTt * TN, 1)
+    rp_hi = rp[1:].reshape(NTt * TN, 1)
+    rp_spec = pl.BlockSpec((TN, 1), lambda i, *_: (i, 0),
+                           memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NTt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), rp_spec, rp_spec],
+        out_specs=[pl.BlockSpec((TN, DC), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        scratch_shapes=[pltpu.VMEM((4, WIN, DC + 128), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((4,))],
+    )
+    kernel = functools.partial(_snd_kernel_pair, TN=TN, DC=DC, WIN=WIN,
+                               NT=NTt, LIM=LIM)
+    d_hd, d_hs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((NTt * TN, DC), jnp.bfloat16)] * 2,
+        grid_spec=grid_spec, interpret=interpret)(pair_base, cta, rp_lo,
+                                                  rp_hi)
+    return d_hd[:N, :D], d_hs[:N, :D]
+
+
 def _edge_combine_kernel(bns_ref, ops_hbm, pe_ref, recv_ref, send_ref,
                          out_ref, w_ops, sems, *, TE, TNW, DC, N, NT, LIM):
     """Fused edge combine: z[e] = hd[recv[e]] + hs[send[e]] + pe[e].
@@ -1030,15 +1203,19 @@ def _combine_kernel_ok(hd, pe, cmb_span: int) -> bool:
             and pe.shape[1] <= 512 and jax.default_backend() != "cpu")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def csr_edge_combine(hd, hs, pe, receivers, senders, row_ptr, csc_row_ptr,
-                     csc_perm, max_deg: int, tile_win: int,
-                     csc_tile_win: int, cmb_span: int,
-                     interpret: bool = False):
+                     csc_perm, snd_base=None, max_deg: int = 0,
+                     tile_win: int = 0, csc_tile_win: int = 0,
+                     cmb_span: int = 0, interpret: bool = False,
+                     snd_win: int = 0):
     """Fused `hd[recv] + hs[send] + pe` with scatter-free backwards:
-    d_hd / d_hs ride the Pallas incidence seg-sum (CSR / CSC order), d_pe
-    is the cotangent itself.  Falls back to clip-gathers + add when the
-    kernel is unavailable (CPU, f32, no span marker)."""
+    d_hd rides the Pallas incidence seg-sum (CSR order); d_hs rides the
+    SENDER-KEYED seg-sum when snd_base/snd_win are given (no csc
+    permutation gather), else the CSC-order seg-sum; d_pe is the cotangent
+    itself.  Falls back to clip-gathers + add when the kernel is
+    unavailable (CPU, f32, no span marker)."""
     if _combine_kernel_ok(hd, pe, cmb_span):
         return _csr_edge_combine_raw(hd, hs, pe, receivers, senders,
                                      cmb_span, interpret)
@@ -1048,29 +1225,36 @@ def csr_edge_combine(hd, hs, pe, receivers, senders, row_ptr, csc_row_ptr,
 
 
 def _combine_fwd(hd, hs, pe, receivers, senders, row_ptr, csc_row_ptr,
-                 csc_perm, max_deg, tile_win, csc_tile_win, cmb_span,
-                 interpret):
+                 csc_perm, snd_base=None, max_deg=0, tile_win=0,
+                 csc_tile_win=0, cmb_span=0, interpret=False, snd_win=0):
     z = csr_edge_combine(hd, hs, pe, receivers, senders, row_ptr,
-                         csc_row_ptr, csc_perm, max_deg, tile_win,
-                         csc_tile_win, cmb_span, interpret)
+                         csc_row_ptr, csc_perm, snd_base, max_deg, tile_win,
+                         csc_tile_win, cmb_span, interpret, snd_win)
     return z, (receivers, senders, row_ptr, csc_row_ptr, csc_perm,
-               hd.shape[0])
+               snd_base, hd.shape[0])
 
 
 def _combine_bwd(max_deg, tile_win, csc_tile_win, cmb_span, interpret,
-                 res, ct):
+                 snd_win, res, ct):
     from infomax3d_tpu.ops.segment import (_use_segsum_kernel,
                                            sorted_segment_sum)
-    receivers, senders, row_ptr, csc_row_ptr, csc_perm, n = res
+    receivers, senders, row_ptr, csc_row_ptr, csc_perm, snd_base, n = res
     if _use_segsum_kernel(ct, max_deg):
-        d_hd = _csr_seg_sum_raw(ct, row_ptr, max_deg, interpret, tile_win)
-        d_hs = _csr_seg_sum_raw(jnp.take(ct, csc_perm, axis=0), csc_row_ptr,
-                                max_deg, interpret, csc_tile_win)
+        if snd_win > 0 and snd_base is not None:
+            # both halves from ONE window stream; no csc permutation gather
+            d_hd, d_hs = pair_segment_sum_bf16(ct, senders, row_ptr,
+                                               snd_base, snd_win, interpret)
+        else:
+            d_hd = _csr_seg_sum_raw(ct, row_ptr, max_deg, interpret,
+                                    tile_win)
+            d_hs = _csr_seg_sum_raw(jnp.take(ct, csc_perm, axis=0),
+                                    csc_row_ptr, max_deg, interpret,
+                                    csc_tile_win)
     else:
         d_hd = sorted_segment_sum(ct, row_ptr)
         d_hs = sorted_segment_sum(jnp.take(ct, csc_perm, axis=0),
                                   csc_row_ptr)
-    return d_hd, d_hs, ct, None, None, None, None, None
+    return d_hd, d_hs, ct, None, None, None, None, None, None
 
 
 csr_edge_combine.defvjp(_combine_fwd, _combine_bwd)

@@ -79,12 +79,14 @@ def sorted_segment_sum(data: jnp.ndarray, row_ptr: jnp.ndarray,
     return out.astype(data.dtype)
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 5, 6))
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 5, 6, 8))
 def take_rows(nodes: jnp.ndarray, idx: jnp.ndarray,
               indices_sorted: bool = False,
               row_ptr: Optional[jnp.ndarray] = None,
               perm: Optional[jnp.ndarray] = None,
-              max_deg: int = 0, tile_win: int = 0) -> jnp.ndarray:
+              max_deg: int = 0, tile_win: int = 0,
+              snd_base: Optional[jnp.ndarray] = None,
+              snd_win: int = 0) -> jnp.ndarray:
     """`nodes[idx.clip(0, N-1)]` with an optimized backward: (a) out-of-range
     padding rows are dropped (their cotangents are exactly zero — padding
     edges never reach the loss); (b) when `row_ptr` is given (receiver-sorted
@@ -98,15 +100,18 @@ def take_rows(nodes: jnp.ndarray, idx: jnp.ndarray,
     Pallas incidence-matmul segment sum (`ops.pallas.spmm.csr_segment_sum_
     bf16`) — no f32 [E, D] prefix materialization, exact f32 accumulation
     in-register (measured v5e: ~0.72 ms/step of boundary-gather fusions
-    removed from the flagship train step)."""
+    removed from the flagship train step); (e) `snd_base`/`snd_win`
+    (batcher csr_snd_base/csr_snd_win) switch the unsorted-idx backward to
+    the SENDER-KEYED incidence seg-sum (`snd_segment_sum_bf16`) — same
+    result as the (c) path with NO [E, D] permutation gather."""
     return jnp.take(nodes, jnp.clip(idx, 0, nodes.shape[0] - 1), axis=0)
 
 
 def _take_rows_fwd(nodes, idx, indices_sorted, row_ptr=None, perm=None,
-                   max_deg=0, tile_win=0):
+                   max_deg=0, tile_win=0, snd_base=None, snd_win=0):
     return (take_rows(nodes, idx, indices_sorted, row_ptr, perm, max_deg,
-                      tile_win),
-            (idx, row_ptr, perm, nodes.shape[0]))
+                      tile_win, snd_base, snd_win),
+            (idx, row_ptr, perm, snd_base, nodes.shape[0]))
 
 
 def _use_segsum_kernel(ct, max_deg: int) -> bool:
@@ -117,19 +122,25 @@ def _use_segsum_kernel(ct, max_deg: int) -> bool:
             and ct.shape[1] <= 512 and jax.default_backend() != "cpu")
 
 
-def _take_rows_bwd(indices_sorted, max_deg, tile_win, res, ct):
-    idx, row_ptr, perm, n = res
+def _take_rows_bwd(indices_sorted, max_deg, tile_win, snd_win, res, ct):
+    idx, row_ptr, perm, snd_base, n = res
+    if (snd_win > 0 and snd_base is not None
+            and _use_segsum_kernel(ct, max_deg)):
+        # sender-keyed incidence seg-sum: no ct permutation gather
+        from infomax3d_tpu.ops.pallas.spmm import snd_segment_sum_bf16
+        return (snd_segment_sum_bf16(ct, idx, snd_base, snd_win)[:n],
+                None, None, None, None)
     if row_ptr is not None:
         if perm is not None:
             ct = jnp.take(ct, perm, axis=0)
         if _use_segsum_kernel(ct, max_deg):
             from infomax3d_tpu.ops.pallas.spmm import csr_segment_sum_bf16
             return (csr_segment_sum_bf16(ct, row_ptr, max_deg, tile_win),
-                    None, None, None)
-        return sorted_segment_sum(ct, row_ptr), None, None, None
+                    None, None, None, None)
+        return sorted_segment_sum(ct, row_ptr), None, None, None, None
     d = jax.ops.segment_sum(ct, idx, num_segments=n,
                             indices_are_sorted=indices_sorted)
-    return d, None, None, None
+    return d, None, None, None, None
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)

@@ -73,7 +73,8 @@ def shard_edge_arrays(arrays: Dict[str, np.ndarray], shard_of_edge: np.ndarray,
 # mesh axis (see ops/segment.py::pna_multi_aggregate `psum` completion).
 _FULL_EDGE_EXTRAS = ("mb_in_edges", "mb_in_mask", "mb_edge_slot",
                      "mb_out_edges", "mb_out_mask", "mb_out_slot",
-                     "csr_row_ptr", "_edge_perm", "csr_pos")
+                     "csr_row_ptr", "_edge_perm", "csr_pos",
+                     "csr_pair_base", "csr_pair_win")
 
 
 def shard_batch_edges(g, k: int, axis: str):

@@ -346,6 +346,26 @@ def test_seg_sum_kernel_interpret_parity(rng):
         num_segments=N + 1)[:N].astype(jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(ref, np.float32))
+    # sender-keyed variant: identical result straight from csr order (no
+    # csc permutation gather); f32 accumulation of <=K bf16 values is
+    # order-independent-exact
+    from infomax3d_tpu.ops.pallas.spmm import (pair_segment_sum_bf16,
+                                               snd_segment_sum_bf16)
+    pb = g.extras["csr_pair_base"]
+    pw = g.extras["csr_pair_win"].shape[0]
+    got = snd_segment_sum_bf16(ct, g.senders, pb, pw, interpret=True)[:N]
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(ref, np.float32))
+    # paired variant: both halves from one window stream
+    d_hd, d_hs = pair_segment_sum_bf16(ct, g.senders, rp, pb, pw,
+                                       interpret=True)
+    ref_hd = jax.ops.segment_sum(
+        ct.astype(jnp.float32), np.minimum(np.asarray(g.receivers), N),
+        num_segments=N + 1)[:N].astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(d_hd, np.float32),
+                                  np.asarray(ref_hd, np.float32))
+    np.testing.assert_array_equal(np.asarray(d_hs, np.float32),
+                                  np.asarray(ref, np.float32))
 
 
 def test_edge_combine_kernel_interpret_parity(rng):
@@ -390,8 +410,10 @@ def test_edge_combine_kernel_interpret_parity(rng):
     def fused(hd, hs, pe):
         z = csr_edge_combine(hd, hs, pe, g.receivers, g.senders, rp,
                              g.extras["csc_row_ptr"], g.extras["csc_perm"],
+                             g.extras["csr_pair_base"],
                              maxdeg, g.extras["csr_tile_win"].shape[0],
-                             g.extras["csc_tile_win"].shape[0], cspan)
+                             g.extras["csc_tile_win"].shape[0], cspan,
+                             False, g.extras["csr_pair_win"].shape[0])
         return (z.astype(jnp.float32) * wm).sum()
 
     def plain(hd, hs, pe):
