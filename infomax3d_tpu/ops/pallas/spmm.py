@@ -903,7 +903,8 @@ def csr_segment_sum_bf16(ct, row_ptr, max_deg: int, tile_win: int = 0,
 
 
 def _snd_seg_sum_kernel(base_ref, ct_hbm, rp_lo_ref, rp_hi_ref, out_refs,
-                        w_ct, sems, *, TN, DC, WIN, NT, LIM, want_recv):
+                        w_ct, sems, *, TN, DC, WIN, NT, LIM, SD,
+                        want_recv):
     """Segment-sum keyed by SENDER directly over receiver-sorted (CSR) edge
     rows: d_hs[n] = sum over {e : senders[e] == n} of ct[e] — replacing the
     CSC path's [E, D] permutation gather (take(ct, csc_perm), ~58 us/layer
@@ -944,10 +945,10 @@ def _snd_seg_sum_kernel(base_ref, ct_hbm, rp_lo_ref, rp_hi_ref, out_refs,
         dma(jax.lax.rem(i + NSLOT - 1, NSLOT), i + NSLOT - 1).start()
 
     dma(slot, i).wait()
-    win = w_ct[slot]                                           # [WIN, DC+128]
+    win = w_ct[slot]                                           # [WIN, DCA]
     vals = win[:, :DC]
-    snd = (win[:, DC:DC + 1].astype(jnp.float32) * 128.0
-           + win[:, DC + 1:DC + 2].astype(jnp.float32))        # [WIN, 1]
+    snd = (win[:, SD:SD + 1].astype(jnp.float32) * 128.0
+           + win[:, SD + 1:SD + 2].astype(jnp.float32))        # [WIN, 1]
     nid = (i * TN
            + jax.lax.broadcasted_iota(jnp.int32, (WIN, TN), 1)) \
         .astype(jnp.float32)
@@ -980,9 +981,12 @@ def _snd_kernel_pair(base_ref, ct_hbm, rp_lo_ref, rp_hi_ref, dhd_ref,
 
 
 def _snd_augment(ct, senders, D, DC, WIN):
-    """Lane-pad ct to [Ep, DC+128] with sender ids encoded in lanes
-    DC / DC+1 (hi/lo bf16, exact for N < 2^15) — one pad-write, which the
-    plain lane pad would have cost anyway."""
+    """Lane-pad ct to [Ep, DCA] with sender ids encoded in the two lanes
+    right after the data (hi = s // 128, lo = s % 128, exact in bf16 for
+    N < 2^15).  When the existing lane pad has >= 2 spare lanes
+    (D <= DC - 2, e.g. 200 -> 256) the ids ride INSIDE it — the augmented
+    write costs exactly what the plain lane pad would have; otherwise one
+    extra 128-lane section is appended.  Returns (array, Ep, DCA)."""
     E = ct.shape[0]
     NBIG = jnp.iinfo(jnp.int32).max // 4
     snd = jnp.pad(senders.astype(jnp.int32), (0, max(0, WIN - E)),
@@ -996,11 +1000,12 @@ def _snd_augment(ct, senders, D, DC, WIN):
     ct = ct.astype(jnp.bfloat16)
     if Ep > E:
         ct = jnp.pad(ct, ((0, Ep - E), (0, 0)))
-    parts = [ct]
-    if D < DC:
-        parts.append(jnp.zeros((Ep, DC - D), jnp.bfloat16))
-    parts += [hi, lo, jnp.zeros((Ep, 126), jnp.bfloat16)]
-    return jnp.concatenate(parts, axis=1), Ep
+    DCA = DC if D + 2 <= DC else DC + 128
+    tail = DCA - D - 2
+    parts = [ct, hi, lo]
+    if tail:
+        parts.append(jnp.zeros((Ep, tail), jnp.bfloat16))
+    return jnp.concatenate(parts, axis=1), Ep, DCA
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -1013,7 +1018,7 @@ def snd_segment_sum_bf16(ct, senders, pair_base, pair_win: int,
     NTt = pair_base.shape[0]
     DC = ((D + 127) // 128) * 128
     WIN = pair_win
-    cta, Ep = _snd_augment(ct, senders, D, DC, WIN)
+    cta, Ep, DCA = _snd_augment(ct, senders, D, DC, WIN)
     LIM = Ep - WIN
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1022,11 +1027,11 @@ def snd_segment_sum_bf16(ct, senders, pair_base, pair_win: int,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((TN, DC), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((4, WIN, DC + 128), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((4, WIN, DCA), jnp.bfloat16),
                         pltpu.SemaphoreType.DMA((4,))],
     )
     kernel = functools.partial(_snd_kernel_norecv, TN=TN, DC=DC, WIN=WIN,
-                               NT=NTt, LIM=LIM)
+                               NT=NTt, LIM=LIM, SD=D)
     out = pl.pallas_call(
         kernel, out_shape=jax.ShapeDtypeStruct((NTt * TN, DC), jnp.bfloat16),
         grid_spec=grid_spec, interpret=interpret)(pair_base, cta)
@@ -1045,7 +1050,7 @@ def pair_segment_sum_bf16(ct, senders, row_ptr, pair_base, pair_win: int,
     NTt = pair_base.shape[0]
     DC = ((D + 127) // 128) * 128
     WIN = pair_win
-    cta, Ep = _snd_augment(ct, senders, D, DC, WIN)
+    cta, Ep, DCA = _snd_augment(ct, senders, D, DC, WIN)
     LIM = Ep - WIN
     rp = row_ptr
     if N % TN:
@@ -1062,11 +1067,11 @@ def pair_segment_sum_bf16(ct, senders, row_ptr, pair_base, pair_win: int,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), rp_spec, rp_spec],
         out_specs=[pl.BlockSpec((TN, DC), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2,
-        scratch_shapes=[pltpu.VMEM((4, WIN, DC + 128), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((4, WIN, DCA), jnp.bfloat16),
                         pltpu.SemaphoreType.DMA((4,))],
     )
     kernel = functools.partial(_snd_kernel_pair, TN=TN, DC=DC, WIN=WIN,
-                               NT=NTt, LIM=LIM)
+                               NT=NTt, LIM=LIM, SD=D)
     d_hd, d_hs = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((NTt * TN, DC), jnp.bfloat16)] * 2,
