@@ -140,11 +140,24 @@ class GroupedOptimizer:
                group_lrs: jnp.ndarray) -> Tuple[Any, GroupedOptState]:
         """group_lrs: [4] vector indexed by GROUP_ORDER position."""
         g, _ = self._ravel(grads)
+        p = None
+        if self.weight_decay:
+            p, _ = self._ravel(params)
+        flat_update, new_state = self.update_flat(g, state, p, group_lrs)
+        return self._unravel(flat_update), new_state
+
+    def update_flat(self, g: jnp.ndarray, state: GroupedOptState,
+                    p_flat: Optional[jnp.ndarray],
+                    group_lrs: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                     GroupedOptState]:
+        """`update` on pre-raveled [P] vectors: returns (flat_update,
+        state).  For callers that keep master params flat end-to-end (the
+        bench/trainer fast path: unravel params in-jit for the model, add
+        the flat update directly — no per-leaf dispatch or tree-add)."""
         lr_el = group_lrs[self._flat_labels]                  # [P]
         wd = self.weight_decay
         if wd and not self.decoupled:
-            p, _ = self._ravel(params)
-            g = g + wd * p * self._wd_mask   # torch coupled weight decay
+            g = g + wd * p_flat * self._wd_mask  # torch coupled weight decay
         count = state.count + 1
         if self.name in ("adam", "adamw"):
             m = self.b1 * state.m + (1 - self.b1) * g
@@ -154,8 +167,7 @@ class GroupedOptimizer:
             vhat = v / (1 - self.b2 ** cf)
             upd = mhat / (jnp.sqrt(vhat) + self.eps)
             if wd and self.decoupled:
-                p, _ = self._ravel(params)
-                upd = upd + wd * p * self._wd_mask
+                upd = upd + wd * p_flat * self._wd_mask
             flat_update = -lr_el * upd
             new_state = GroupedOptState(m=m, v=v, count=count)
         else:  # sgd
@@ -165,7 +177,7 @@ class GroupedOptimizer:
                 m = g
             flat_update = -lr_el * m
             new_state = GroupedOptState(m=m, v=state.v, count=count)
-        return self._unravel(flat_update), new_state
+        return flat_update, new_state
 
 
 def build_optimizer(params, args_like: Dict) -> Tuple[GroupedOptimizer, List[str]]:
