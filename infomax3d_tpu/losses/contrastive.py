@@ -19,6 +19,7 @@ import math
 from typing import Callable, Dict, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 LOSS_REGISTRY: Dict[str, Callable] = {}
@@ -44,7 +45,7 @@ def uniformity_loss(x1: jnp.ndarray, x2: jnp.ndarray, t: float = 2.0) -> jnp.nda
         x = x.reshape(x.shape[0], -1) if x.ndim > 2 else x
         sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
         n = x.shape[0]
-        iu = jnp.triu_indices(n, k=1)
+        iu = np.triu_indices(n, k=1)
         return jnp.log(jnp.mean(jnp.exp(-t * sq[iu])))
     return (_u(x1) + _u(x2)) / 2.0
 
@@ -258,7 +259,7 @@ class _HardNegativeMixin:
     def _pos_neg(self, z1, z2):
         b = z1.shape[0]
         sim = jnp.exp(_cosine_sim_matrix(z1, z2, self.norm) / self.tau)
-        eye = jnp.eye(b, dtype=bool)
+        eye = np.eye(b, dtype=bool)
         pos = jnp.diag(sim)
         neg = sim[~eye].reshape(b, b - 1)
         return b, pos, neg
@@ -722,7 +723,7 @@ class NTXentLocalGlobal:
 
     def __call__(self, zn, zg, node_graph=None, node_mask=None, **kw):
         g = zg.shape[0]
-        pos_mask = (node_graph[:, None] == jnp.arange(g)[None, :]).astype(zn.dtype)
+        pos_mask = (node_graph[:, None] == np.arange(g)[None, :]).astype(zn.dtype)
         if node_mask is not None:
             pos_mask = pos_mask * node_mask[:, None]
             valid = node_mask[:, None].astype(zn.dtype)
@@ -804,7 +805,7 @@ def jse_global_global(z1, z2):
     softplus `get_expectation` form of the reference."""
     g = z1.shape[0]
     d = jnp.matmul(z1, z2.T)
-    eye = jnp.eye(g, dtype=d.dtype)
+    eye = np.eye(g, dtype=d.dtype)
     pos_score = LOG_2 - jax.nn.softplus(-(d * eye))
     neg_score = jax.nn.softplus(-(d * (1 - eye))) + d * (1 - eye) - LOG_2
     e_pos = jnp.sum(pos_score * 1.0) / g          # reference sums ALL entries
@@ -819,7 +820,7 @@ def jse_local_global(zg, zn, node_graph, node_mask=None, measure="JSD"):
     """MVGRL local-global JSE (losses.py:1330-1353) with segment-id masks."""
     n = zn.shape[0]
     g = zg.shape[0]
-    pos_mask = (node_graph[:, None] == jnp.arange(g)[None, :]).astype(zn.dtype)
+    pos_mask = (node_graph[:, None] == np.arange(g)[None, :]).astype(zn.dtype)
     if node_mask is not None:
         pos_mask = pos_mask * node_mask[:, None]
         valid = node_mask[:, None].astype(zn.dtype)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -76,7 +77,7 @@ class DenseEGNN(nn.Module):
         h = nn.Dense(self.hidden_dim, name="embedding")(
             g.node_feat.astype(jnp.float32))
         x = g.coords
-        pair = g.pair_mask & ~jnp.eye(n, dtype=bool)[None]
+        pair = g.pair_mask & ~np.eye(n, dtype=bool)[None]
         for i in range(self.n_layers):
             h, x = DenseEGCL(self.hidden_dim, self.act, self.residual,
                              self.attention, self.coords_weight,

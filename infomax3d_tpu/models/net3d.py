@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -275,7 +276,7 @@ class Net3DDense(nn.Module):
         G, n = g.node_feat.shape[:2]
         node_mask = g.node_mask
         sizes = node_mask.sum(axis=1)
-        eye = jnp.eye(n, dtype=bool)[None]
+        eye = np.eye(n, dtype=bool)[None]
         emask = (node_mask[:, :, None] & node_mask[:, None, :]) & ~eye
 
         if self.use_node_features:

@@ -266,8 +266,8 @@ class OptimalTransportModel(nn.Module):
                 jnp.concatenate([y_rep, x_rep, h_mol_d], -1))
         v_star = jnp.concatenate([jnp.cos(alpha), jnp.sin(alpha)], -1)  # [P,C,2]
 
-        pT_idx = jnp.repeat(jnp.arange(3), 3)          # 9 combos
-        qZ_idx = jnp.tile(jnp.arange(3), 3)
+        pT_idx = np.repeat(np.arange(3), 3)          # 9 combos
+        qZ_idx = np.tile(np.arange(3), 3)
         pT = p_T_prime[:, pT_idx]                      # [P,9,C,3]
         qZ = q_Z_translated[:, qZ_idx]
         pY9 = jnp.broadcast_to(p_Y_prime[:, None], pT.shape)
@@ -321,8 +321,8 @@ class OptimalTransportModel(nn.Module):
 
         xn3 = slots(xn_pos, ex["x_other"])             # [P,6,3,T,3]
         yn3 = slots(yn_pos, ex["y_other"])
-        pT_idx = jnp.repeat(jnp.arange(3), 3)
-        qZ_idx = jnp.tile(jnp.arange(3), 3)
+        pT_idx = np.repeat(np.arange(3), 3)
+        qZ_idx = np.tile(np.arange(3), 3)
         xn9 = xn3[:, :, pT_idx].transpose(0, 2, 1, 3, 4)         # [P,9,6,T,3]
         yn9 = yn3[:, :, qZ_idx].transpose(0, 2, 1, 3, 4)
         x9 = jnp.broadcast_to(x_pos[:, None, None], xn9.shape)

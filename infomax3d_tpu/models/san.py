@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -55,7 +56,7 @@ class SANAttention(nn.Module):
         score1 = jnp.einsum("gjhd,gihd->gijhd", k1, q1) / jnp.sqrt(hd)
         score1 = jnp.sum(score1 * e1, axis=-1)               # [G,N,N,H] (i<-j)
         pair = g.pair_mask
-        eye = jnp.eye(N, dtype=bool)[None]
+        eye = np.eye(N, dtype=bool)[None]
         real = g.real_edge_mask & pair & ~eye
         if self.full_graph:
             q2, k2 = heads(dense("Q_2")(h)), heads(dense("K_2")(h))

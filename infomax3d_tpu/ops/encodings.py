@@ -1,6 +1,7 @@
 """Distance / positional encodings (reference `commons/utils.py:103-110`)."""
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -17,7 +18,8 @@ def fourier_encode_dist(x: jnp.ndarray, num_encodings: int = 4,
     """
     if x.shape[-1] != 1:
         x = x[..., None]
-    scales = 2.0 ** jnp.arange(num_encodings, dtype=x.dtype)
+    scales = jnp.asarray(2.0 ** np.arange(num_encodings, dtype=np.float32),
+                         x.dtype)
     scaled = x / scales                                     # [..., K]
     out = jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
     if include_self:

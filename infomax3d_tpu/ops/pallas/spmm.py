@@ -244,9 +244,12 @@ def preflight_stats_kernel() -> bool:
 
         ga = jax.jit(jax.grad(_loss, argnums=(0, 3)))(
             msgs, row_ptr, recv, aff)
+        # compile+execute success IS the gate — no device->host value
+        # fetch here: a scalar D2H costs minutes on a degraded remote-TPU
+        # tunnel (observed), and kernel NUMERICS are covered on-chip by
+        # tools/verify_onchip.py and in interpret mode by the test suite.
         jax.block_until_ready((out, ga))
-        _STATS_KERNEL_OK = bool(jnp.isfinite(out[0]).all()
-                                & jnp.isfinite(ga[0]).all())
+        _STATS_KERNEL_OK = True
     except Exception as e:             # Mosaic/XLA compile or runtime error
         print(f"stats-kernel preflight failed ({type(e).__name__}): "
               f"falling back to csr_multi_reduce")
@@ -785,7 +788,7 @@ def _stats_bwd(max_deg, interpret, tile_win, bwd_span, want_sum, res, cots):
     # to exactly one edge per node (the reference's torch/DGL argmax
     # semantics; JAX's XLA segment_max would split evenly among ties)
     if pos is None:
-        pos = (jnp.arange(receivers.shape[0], dtype=jnp.float32)
+        pos = (np.arange(receivers.shape[0], dtype=np.float32)
                - jnp.take(row_ptr, recv).astype(jnp.float32))
     pos = pos.astype(jnp.float32)[:, None]
     d_msg = d_msg + dmx_e * (pos == amax_e)
@@ -1496,7 +1499,7 @@ def _csr_stats_bwd_raw(messages, receivers, row_ptr, pos, operands,
     # batcher precomputes it (csr_pos) — the in-jit fallback's 1D
     # take(row_ptr, receivers) gather measured 131 us/step on v5e.
     if pos is None:
-        pos = (jnp.arange(E, dtype=jnp.float32)
+        pos = (np.arange(E, dtype=np.float32)
                - jnp.take(row_ptr,
                           receivers.clip(0, N - 1)).astype(jnp.float32))
     pos = jnp.pad(pos.astype(jnp.bfloat16), (0, Ep - E),

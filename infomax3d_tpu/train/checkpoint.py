@@ -19,8 +19,41 @@ import numpy as np
 from flax import serialization
 
 
+def _gather_tree(state):
+    """device -> host with ONE transfer per dtype instead of one per leaf.
+
+    `jax.device_get(tree)` issues a round-trip per buffer; a train state
+    has ~450 leaves, which on a high-latency device link (remote TPU
+    tunnels) turns a 20 MB checkpoint into minutes of serial fetches.
+    Concatenating the raveled leaves on device (grouped by dtype — no
+    promotion, bit-exact) and splitting on host makes it one DMA per
+    dtype.  Extended dtypes (typed PRNG keys) and non-device leaves fall
+    back to device_get."""
+    import jax.numpy as jnp
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    by_dt: Dict[Any, list] = {}
+    for i, l in enumerate(leaves):
+        if isinstance(l, jax.Array) and not jnp.issubdtype(
+                l.dtype, jax.dtypes.extended):
+            by_dt.setdefault(np.dtype(l.dtype), []).append(i)
+    out = [None] * len(leaves)
+    for dt, idxs in by_dt.items():
+        flat = jnp.concatenate([leaves[i].reshape(-1) for i in idxs]) \
+            if len(idxs) > 1 else leaves[idxs[0]].reshape(-1)
+        host = np.asarray(jax.device_get(flat))
+        off = 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+            out[i] = host[off:off + n].reshape(leaves[i].shape)
+            off += n
+    for i, l in enumerate(leaves):
+        if out[i] is None:
+            out[i] = jax.device_get(l)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def save_checkpoint(path: str, state, host_state: Dict[str, Any]) -> None:
-    state = jax.device_get(state)
+    state = _gather_tree(state)
     blob = serialization.to_bytes(state)
     # atomic replace: a reader (end-of-train best reload, a resuming run, or
     # a multi-seed sibling thread) must never observe a partially written

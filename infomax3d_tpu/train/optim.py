@@ -131,8 +131,12 @@ class GroupedOptimizer:
             np.full(s, int(lbl), np.int32)
             for s, lbl in zip(sizes, self._label_leaves)])
         assert lbls.shape[0] == flat.shape[0]
-        self._flat_labels = jnp.asarray(lbls)
-        self._wd_mask = jnp.asarray((lbls != 0).astype(np.float32))
+        # NUMPY closure constants: a closed-over DEVICE array is embedded
+        # into every consuming jit via a device->host fetch at lowering
+        # time — minutes per constant on a degraded remote-TPU tunnel;
+        # numpy constants embed directly
+        self._flat_labels = lbls
+        self._wd_mask = (lbls != 0).astype(np.float32)
         return GroupedOptState(m=jnp.zeros_like(flat), v=jnp.zeros_like(flat),
                                count=jnp.zeros([], jnp.int32))
 
