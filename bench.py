@@ -131,28 +131,62 @@ def main():
         params2 = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
         return params2, opt_state2, loss
 
-    # warmup/compile
+    # warmup/compile + one real value fetch (absorbs the tunnel's expensive
+    # first-fetch path before any timing starts)
     params, opt_state, loss = step(params, opt_state, stats, g2c, g3c)
-    jax.block_until_ready(loss)
+    _ = float(jax.device_get(loss))
 
-    # INFOMAX3D_PROFILE=<dir>: wrap the timing loop in a jax.profiler trace
-    # (parse with tools/parse_trace.py).  Profiled timings are skewed, so
-    # the run does NOT update .bench_history.json.
+    # --- timing -----------------------------------------------------------
+    # VERDICT r4 weak #1: on remote-device backends (the driver's 'axon'
+    # tunnel) `jax.block_until_ready` can return BEFORE remote execution
+    # completes, which inflated BENCH_r04 ~12x (0.63 ms/step, 242% "MFU").
+    # The only sync that provably waits is an actual value fetch
+    # (`float(loss)`).  Primary methodology: SLOPE timing — time n1 and n2
+    # iterations, each bracketed by a value fetch; (T2-T1)/(n2-n1) cancels
+    # the constant fetch/RTT cost.  The legacy block_until_ready wall time
+    # is still recorded for comparison; when the two disagree the slope
+    # wins, and a plausibility guard (MFU must be < 100%) backstops both.
     prof_dir = os.environ.get("INFOMAX3D_PROFILE")
+
+    def run_steps(n, fetch):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            params, opt_state, loss = step(params, opt_state, stats, g2c, g3c)
+        if fetch:
+            _ = float(jax.device_get(loss))      # true device sync
+        else:
+            jax.block_until_ready(loss)          # unreliable over the tunnel
+        return time.perf_counter() - t0
+
     if prof_dir:
+        # INFOMAX3D_PROFILE=<dir>: wrap a short loop in a jax.profiler trace
+        # (parse with tools/parse_trace.py).  Profiled timings are skewed,
+        # so the run does NOT update .bench_history.json.
         jax.profiler.start_trace(prof_dir)
-    n_iter = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        params, opt_state, loss = step(params, opt_state, stats, g2c, g3c)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n_iter
-    if prof_dir:
+        dt = run_steps(30, fetch=True) / 30
         jax.profiler.stop_trace()
+        dt_block = dt
+        timing_method = "profiled-wall(30, value-fetch)"
+    else:
+        dt_block = run_steps(30, fetch=False) / 30
+        n1, n2 = 25, 275
+        slopes = []
+        for _ in range(2):
+            t_small = run_steps(n1, fetch=True)
+            t_big = run_steps(n2, fetch=True)
+            slopes.append((t_big - t_small) / (n2 - n1))
+        slopes = [s for s in slopes if s > 0]
+        if slopes:
+            dt = float(np.median(slopes))
+            timing_method = (f"slope(n1={n1},n2={n2},reps=2,"
+                             "value-fetch-bracketed)")
+        else:  # pathological fetch jitter — fall back, flagged below
+            dt = dt_block
+            timing_method = "block_until_ready(30) [slope failed]"
 
     edges_per_step = e2 + e3
-    edges_per_s = edges_per_step / dt
-    graphs_per_s = B / dt
 
     # roofline: FLOPs AND bytes of the compiled step vs the ACTUAL chip's
     # peaks (VERDICT r2 weak #3: the old code hardcoded v5e).  The step is
@@ -171,30 +205,76 @@ def main():
     kind = jax.devices()[0].device_kind
     peak_bf16, peak_f32, hbm_gbs = CHIP_PEAKS.get(
         kind, (197.0, 49.0, 819.0))          # conservative default (v5e)
-    tflops = mfu_pct = light_ms = pct_of_light = gbytes = None
+    flops = bytes_acc = 0.0
     try:
         compiled = step.lower(params, opt_state, stats, g2c, g3c).compile()
         fl = compiled.cost_analysis()
         fl = fl[0] if isinstance(fl, (list, tuple)) else fl
         flops = float(fl.get("flops", 0.0))
         bytes_acc = float(fl.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+
+    def derive(dt):
+        """All dt-derived metrics, so a timing fallback can recompute."""
+        d = {"edges_per_s": edges_per_step / dt, "graphs_per_s": B / dt,
+             "tflops": None, "mfu_pct": None, "mem_unfused_ms": None,
+             "logical_gbytes_per_step": None}
         if flops > 0:
-            tflops = flops / dt / 1e12
+            d["tflops"] = flops / dt / 1e12
             peak = (peak_bf16 if use_bf16 else peak_f32) * 1e12
-            mfu_pct = 100.0 * flops / dt / peak
+            d["mfu_pct"] = 100.0 * flops / dt / peak
         if bytes_acc > 0:
             # XLA's "bytes accessed" counts LOGICAL per-op operand/output
             # bytes (pre-fusion, no VMEM-reuse credit) — an UPPER bound on
-            # real HBM traffic, not a light bound.  Report the implied
-            # unfused memory time and how much of that logical traffic
-            # fusion/VMEM reuse must be eliminating; the honest
-            # speed-of-light accounting per hot op lives in ROOFLINE.md.
-            gbytes = bytes_acc / 1e9
-            light_ms = bytes_acc / (hbm_gbs * 1e9) * 1e3   # if every access hit HBM
-            pct_of_light = 100.0 * max(0.0, 1.0 - dt * 1e3 / light_ms) \
-                if light_ms > dt * 1e3 else 0.0
-    except Exception:
-        pass
+            # real HBM traffic, not a light bound.  The honest per-op
+            # speed-of-light accounting lives in ROOFLINE.md.
+            d["logical_gbytes_per_step"] = bytes_acc / 1e9
+            d["mem_unfused_ms"] = bytes_acc / (hbm_gbs * 1e9) * 1e3
+        return d
+
+    def profiler_device_ms(nsteps=10):
+        """Per-step device compute time from a jax.profiler trace."""
+        import sys
+        import tempfile
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import parse_trace as _pt
+        with tempfile.TemporaryDirectory() as td:
+            jax.profiler.start_trace(td)
+            run_steps(nsteps, fetch=True)
+            jax.profiler.stop_trace()
+            _, total_ms = _pt.summarize(_pt.load_trace_events(td), "TPU")
+        return total_ms / nsteps if total_ms > 0 else None
+
+    m = derive(dt)
+    # Plausibility guard (VERDICT r4 weak #2): never publish a physically
+    # impossible number.  flops-MFU >= 100% means the clock is broken — fall
+    # back to profiler-derived device time; failing that, take the slowest
+    # candidate and flag the record as suspect.
+    timing_note = None
+    if m["mfu_pct"] is not None and m["mfu_pct"] >= 100.0:
+        prof_ms = None
+        try:
+            prof_ms = profiler_device_ms()
+        except Exception:
+            prof_ms = None
+        if prof_ms and (flops / (prof_ms / 1e3) / 1e12
+                        < (peak_bf16 if use_bf16 else peak_f32)):
+            dt = prof_ms / 1e3
+            timing_method = "profiler-device-time(10 steps)"
+            timing_note = ("slope/wall clock implied MFU>=100%; "
+                           "re-derived from profiler device time")
+        else:
+            dt = max(dt, dt_block)
+            timing_note = ("IMPLAUSIBLE TIMING: MFU>=100% and no profiler "
+                           "fallback available — number is a lower bound "
+                           "on step time, treat with suspicion")
+        m = derive(dt)
+    edges_per_s = m["edges_per_s"]
+    graphs_per_s = m["graphs_per_s"]
+    tflops, mfu_pct = m["tflops"], m["mfu_pct"]
+    light_ms, gbytes = m["mem_unfused_ms"], m["logical_gbytes_per_step"]
 
     # vs_baseline: ratio to the MEASURED reference (mounted torch code at the
     # same shapes — tools/anchor_reference.py writes .baseline_anchor.json;
@@ -222,29 +302,33 @@ def main():
         baseline_kind = "vs previous run"
     with open(HIST if not prof_dir else HIST + ".profiled", "w") as f:
         json.dump({"edges_per_s": edges_per_s, "graphs_per_s": graphs_per_s,
-                   "step_ms": dt * 1e3, "batch": B,
+                   "step_ms": dt * 1e3, "step_ms_blockready": dt_block * 1e3,
+                   "timing_method": timing_method, "timing_note": timing_note,
+                   "batch": B,
                    "edges_per_step": edges_per_step, "bf16": use_bf16,
                    "tflops": tflops, "mfu_pct": mfu_pct,
                    "mem_unfused_ms": light_ms,
-                   "fusion_reuse_pct": pct_of_light,
                    "logical_gbytes_per_step": gbytes, "device_kind": kind,
                    "device": str(jax.devices()[0])}, f)
 
+    extra = {"graphs_per_s": round(graphs_per_s, 1),
+             "step_ms": round(dt * 1e3, 2),
+             "step_ms_blockready": round(dt_block * 1e3, 2),
+             "timing_method": timing_method, "bf16": use_bf16,
+             "tflops": None if tflops is None else round(tflops, 2),
+             "mfu_pct": None if mfu_pct is None else round(mfu_pct, 2),
+             "mem_unfused_ms": None if light_ms is None else
+             round(light_ms, 2),
+             "device_kind": kind,
+             "baseline_kind": baseline_kind}
+    if timing_note:
+        extra["timing_note"] = timing_note
     print(json.dumps({
         "metric": "pretrain_edges_per_s",
         "value": round(edges_per_s, 1),
         "unit": "edges/s (PNA200x7+Net3D fused train step, batch 500)",
         "vs_baseline": round(vs_baseline, 3),
-        "extra": {"graphs_per_s": round(graphs_per_s, 1),
-                  "step_ms": round(dt * 1e3, 2), "bf16": use_bf16,
-                  "tflops": None if tflops is None else round(tflops, 2),
-                  "mfu_pct": None if mfu_pct is None else round(mfu_pct, 2),
-                  "mem_unfused_ms": None if light_ms is None else
-                  round(light_ms, 2),
-                  "fusion_reuse_pct": None if pct_of_light is None else
-                  round(pct_of_light, 1),
-                  "device_kind": kind,
-                  "baseline_kind": baseline_kind},
+        "extra": extra,
     }))
 
 
