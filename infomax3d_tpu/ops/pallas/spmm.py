@@ -244,11 +244,34 @@ def preflight_stats_kernel() -> bool:
 
         ga = jax.jit(jax.grad(_loss, argnums=(0, 3)))(
             msgs, row_ptr, recv, aff)
-        # compile+execute success IS the gate — no device->host value
-        # fetch here: a scalar D2H costs minutes on a degraded remote-TPU
+        # compile+execute success IS the default gate — no device->host
+        # value fetch: a scalar D2H costs minutes on a degraded remote-TPU
         # tunnel (observed), and kernel NUMERICS are covered on-chip by
         # tools/verify_onchip.py and in interpret mode by the test suite.
+        # INFOMAX3D_PREFLIGHT_NUMERIC=1 additionally compares a reduced
+        # on-device checksum vs the f32 oracle and fetches ONE scalar, so a
+        # Mosaic miscompile that runs but produces garbage also trips the
+        # fallback (advisor r4).
         jax.block_until_ready((out, ga))
+        import os
+        if os.environ.get("INFOMAX3D_PREFLIGHT_NUMERIC") == "1":
+            def _maxdiff(m, rp, rc):
+                ks = csr_pna_stats(m, rp, rc, max_deg=deg)
+                s1, s2, mx, mn = csr_multi_reduce(m.astype(jnp.float32),
+                                                  rp, rc, deg)
+                dg = jnp.maximum((rp[1:] - rp[:-1]).astype(jnp.float32),
+                                 1.0)[:, None]
+                mean = s1 / dg
+                std = jnp.sqrt(jax.nn.relu(s2 / dg - mean ** 2) + EPS)
+                refs = (s1, mean, std, mx, mn)
+                return jnp.max(jnp.stack([
+                    jnp.max(jnp.abs(k.astype(jnp.float32) - r))
+                    for k, r in zip(ks, refs)]))
+            d = float(jax.jit(_maxdiff)(msgs, row_ptr, recv))
+            if not (d < 0.05):        # bf16 outputs on O(1) values
+                raise FloatingPointError(
+                    f"stats kernel numeric preflight: max|kernel-oracle| "
+                    f"= {d}")
         _STATS_KERNEL_OK = True
     except Exception as e:             # Mosaic/XLA compile or runtime error
         print(f"stats-kernel preflight failed ({type(e).__name__}): "
@@ -1019,6 +1042,13 @@ def snd_segment_sum_bf16(ct, senders, pair_base, pair_win: int,
     E, D = ct.shape
     TN = CSR_TILE_N
     NTt = pair_base.shape[0]
+    # _snd_augment's hi/lo bf16 sender-id encoding is exact only for
+    # ids < 2^15 (hi must stay an exact bf16 integer, i.e. <= 256);
+    # dispatchers fall back to the CSC path above this — enforce it here
+    # so a new caller can't silently corrupt gradients.
+    assert NTt * TN < 2 ** 15, (
+        f"snd_segment_sum_bf16: {NTt * TN} padded nodes >= 2^15 — sender-id "
+        "lane encoding would be inexact; use the CSC-permuted seg-sum path")
     DC = ((D + 127) // 128) * 128
     WIN = pair_win
     cta, Ep, DCA = _snd_augment(ct, senders, D, DC, WIN)
@@ -1049,6 +1079,9 @@ def pair_segment_sum_bf16(ct, senders, row_ptr, pair_base, pair_win: int,
     pair).  Returns [N, D] each (N from row_ptr)."""
     E, D = ct.shape
     N = row_ptr.shape[0] - 1
+    assert N < 2 ** 15, (
+        f"pair_segment_sum_bf16: {N} padded nodes >= 2^15 — sender-id "
+        "lane encoding would be inexact; use the CSC-permuted seg-sum path")
     TN = CSR_TILE_N
     NTt = pair_base.shape[0]
     DC = ((D + 127) // 128) * 128
@@ -1248,7 +1281,9 @@ def _combine_bwd(max_deg, tile_win, csc_tile_win, cmb_span, interpret,
                                            sorted_segment_sum)
     receivers, senders, row_ptr, csc_row_ptr, csc_perm, snd_base, n = res
     if _use_segsum_kernel(ct, max_deg):
-        if snd_win > 0 and snd_base is not None:
+        # n < 2^15: the pair kernel's bf16 sender-id lane encoding is only
+        # exact below that (see _snd_augment); bigger batches use CSC
+        if snd_win > 0 and snd_base is not None and n < 2 ** 15:
             # both halves from ONE window stream; no csc permutation gather
             d_hd, d_hs = pair_segment_sum_bf16(ct, senders, row_ptr,
                                                snd_base, snd_win, interpret)

@@ -101,7 +101,7 @@ def take_rows(nodes: jnp.ndarray, idx: jnp.ndarray,
     bf16`) — no f32 [E, D] prefix materialization, exact f32 accumulation
     in-register (measured v5e: ~0.72 ms/step of boundary-gather fusions
     removed from the flagship train step); (e) `snd_base`/`snd_win`
-    (batcher csr_snd_base/csr_snd_win) switch the unsorted-idx backward to
+    (batcher csr_pair_base/csr_pair_win) switch the unsorted-idx backward to
     the SENDER-KEYED incidence seg-sum (`snd_segment_sum_bf16`) — same
     result as the (c) path with NO [E, D] permutation gather."""
     return jnp.take(nodes, jnp.clip(idx, 0, nodes.shape[0] - 1), axis=0)
@@ -124,8 +124,11 @@ def _use_segsum_kernel(ct, max_deg: int) -> bool:
 
 def _take_rows_bwd(indices_sorted, max_deg, tile_win, snd_win, res, ct):
     idx, row_ptr, perm, snd_base, n = res
-    if (snd_win > 0 and snd_base is not None
+    if (snd_win > 0 and snd_base is not None and n < 2 ** 15
             and _use_segsum_kernel(ct, max_deg)):
+        # n < 2^15: sender ids ride the window as two bf16 lanes
+        # (hi = s//128, lo = s%128) — hi is only integer-exact up to 256,
+        # so beyond 2^15 padded nodes fall back to the CSC-permuted path
         # sender-keyed incidence seg-sum: no ct permutation gather
         from infomax3d_tpu.ops.pallas.spmm import snd_segment_sum_bf16
         return (snd_segment_sum_bf16(ct, idx, snd_base, snd_win)[:n],

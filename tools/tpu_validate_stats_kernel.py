@@ -33,18 +33,36 @@ def parity(interpret: bool = False):
     from infomax3d_tpu.ops.pallas import spmm
 
     rng = np.random.default_rng(0)
-    N, E, D, max_deg = 2048, 16384, 200, 24
-    recv = np.sort(rng.integers(0, N, E)).astype(np.int32)
-    row_ptr = np.zeros(N + 1, np.int32)
-    np.add.at(row_ptr[1:], recv, 1)
-    row_ptr = np.cumsum(row_ptr).astype(np.int32)
+    # degree-capped CSR batch INSIDE the production dispatch envelope:
+    # _use_stats_kernel routes to this kernel only for max_deg <= 16 (the
+    # winner-slot encoding packs amax + 16*amin), so validate at the
+    # envelope's edge, not beyond it.  (This tool used to pass max_deg
+    # positionally into the old signature and silently validated with
+    # max_deg 0/1 — advisor r4; uniform-random receivers then gave
+    # max_deg 24, which the dispatcher would never send here.)
+    N, D = 2048, 200
+    degs = rng.integers(0, 13, N)
+    row_ptr = np.concatenate([[0], np.cumsum(degs)]).astype(np.int32)
+    E_real = int(row_ptr[-1])
+    # kernel contract: the [E, D] message rows are padded to a 512 multiple
+    # (window clamping reads whole blocks past row_ptr[-1]; the production
+    # batcher always pads edge buckets this way — graphs/batch.py)
+    E = int(np.ceil(E_real / 512) * 512)
+    recv = np.concatenate([
+        np.repeat(np.arange(N, dtype=np.int32), degs),
+        np.full(E - E_real, N, np.int32)])
     msgs = rng.normal(size=(E, D)).astype(np.float32)
+    from infomax3d_tpu.ops.pallas.spmm import _use_stats_kernel
+    assert not _use_stats_kernel(jnp.zeros((4, 4), jnp.bfloat16), 17), \
+        "dispatch gate for max_deg > 16 disappeared — this scenario no " \
+        "longer covers the production envelope"
     msgs_bf = jnp.asarray(msgs, jnp.bfloat16)
     rp, rc = jnp.asarray(row_ptr), jnp.asarray(recv)
     md = int(np.diff(row_ptr).max())
 
     def k_out(m):
-        s1, mean, std, mx, mn = spmm.csr_pna_stats(m, rp, rc, md, interpret)
+        s1, mean, std, mx, mn = spmm.csr_pna_stats(
+            m, rp, rc, max_deg=md, interpret=interpret)
         return jnp.stack([s1.astype(jnp.float32), mean.astype(jnp.float32),
                           std.astype(jnp.float32), mx.astype(jnp.float32),
                           mn.astype(jnp.float32)])
@@ -58,7 +76,7 @@ def parity(interpret: bool = False):
         return jnp.stack([s1, mean, jnp.sqrt(var), mx, mn])
 
     def k_out_interp(m):
-        s = spmm.csr_pna_stats(m, rp, rc, md, True)
+        s = spmm.csr_pna_stats(m, rp, rc, max_deg=md, interpret=True)
         return jnp.stack([x.astype(jnp.float32) for x in s])
 
     # fwd: hardware kernel vs the f32 csr_multi_reduce path (ground truth,
@@ -80,7 +98,11 @@ def parity(interpret: bool = False):
     # is not the ground truth (see the comment above), but a catastrophic
     # lowering regression (rel ~ 1.0) should still fail the harness even
     # when f32 parity happens to hold on this one shape.
-    ok_fwd = bool((rel_f < 0.05).all() and (rel_i < 0.5).all())
+    # interpret mode legally drops the hi/lo sumsq split's intermediate
+    # bf16 rounding (see above) — its std sits ~6e-2 off exact f32 where
+    # the Mosaic kernel is ~3e-3, so the self-check budget is looser
+    fwd_tol = 0.08 if interpret else 0.05
+    ok_fwd = bool((rel_f < fwd_tol).all() and (rel_i < 0.5).all())
 
     # bwd, smooth part (sum/mean/std cotangents; zero on max/min): strict —
     # the analytic VJP has no tie-routing freedom here.  max/min cotangents
@@ -104,8 +126,23 @@ def parity(interpret: bool = False):
     # amplified by small-std nodes).  hw-vs-interp is informational (see the
     # fwd comment: interpret is the less exact of the two on this backend —
     # its excess-precision residuals shift the 1/std backward weights).
-    hw_rel = np.abs(gk_s - gi_s).max() / (np.abs(gi_s).max() + 1e-9)
-    sm_rel = np.abs(gk_s - gf_s).max() / (np.abs(gf_s).max() + 1e-9)
+    # The strict bound applies only where the backward is WELL-CONDITIONED:
+    # the std cotangent path divides by std[recv], so wherever a segment's
+    # per-feature f32 std is small (deg-1 nodes: exactly sqrt(EPS); deg-2/3
+    # nodes whose samples happen to agree) the kernel's bf16 fwd-output
+    # rounding is amplified ~1/std on BOTH paths with unmatched direction —
+    # pure quantization noise, the same conditioning caveat
+    # tests/test_trajectory_golden.py documents.  The ill-conditioned tail
+    # is still guarded by the global outlier FRACTION below.
+    std_f = np.asarray(jax.jit(f_out)(msgs_bf))[2]          # [N, D] f32 std
+    e_recv = np.minimum(recv, N - 1)
+    e_deg = np.concatenate([np.repeat(degs, degs),
+                            np.zeros(E - E_real, np.int64)])
+    smooth_ok = (std_f[e_recv] >= 0.25) & (e_deg >= 2)[:, None]
+    hw_rel = (np.abs(gk_s - gi_s) * smooth_ok).max() / \
+        ((np.abs(gi_s) * smooth_ok).max() + 1e-9)
+    sm_rel = (np.abs(gk_s - gf_s) * smooth_ok).max() / \
+        ((np.abs(gf_s) * smooth_ok).max() + 1e-9)
     gk = grad_of(k_out, ct)
     gf = grad_of(f_out, ct)
     big = np.abs(gk - gf) > 0.02 * (np.abs(gf).max() + 1e-9)
