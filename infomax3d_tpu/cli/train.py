@@ -249,12 +249,15 @@ def resolve_fast_paths(args: Dict[str, Any]) -> None:
     """
     import jax
     on_accel = jax.default_backend() != "cpu"
-    if args.get("graph_shards", 1) > 1:
+    if args.get("graph_shards", 1) > 1 or args.get("node_shards", 1) > 1:
         # edge-partitioned mode shards the FLAT edge arrays inside the step
         # (parallel/edge_partition.py drops csr/mailbox extras at trace
         # time) and Net3DDense's [G, M, M] layout has no flat edge axis —
         # keep both fast paths off so every model runs the XLA segment path
-        # that carries the psum completion
+        # that carries the psum completion.  Node-sharded mode
+        # (parallel/node_partition.py) likewise: its local indices replace
+        # the full-ordering csr/mailbox extras, and its receiver-owned
+        # reductions ride the same XLA segment path (completing locally).
         args["csr_buckets"] = False
         args["dense_3d"] = False
     csr = args.get("csr_buckets", "auto")
@@ -575,6 +578,37 @@ def make_loaders(args: Dict[str, Any], dataset, mesh=None):
                                     nmax=max_n)
         bucket = None
 
+    node_shards = args.get("node_shards", 1)
+    if node_shards > 1:
+        # node-sharded mode (parallel/node_partition.py): re-emit every
+        # GraphBatch as a [k, ...] shard stack.  Pads are STATIC per bucket
+        # so all batches of a bucket share one XLA compilation: per-shard
+        # edges at 1.5x the even split (whole-molecule contiguous ranges
+        # imbalance mildly), halo at one max-size molecule per round (a
+        # contiguous range cuts at most one molecule per boundary).
+        # Overridable via node_el_pad / node_halo_pad on overflow.
+        from infomax3d_tpu.data.loader import get_collate
+        from infomax3d_tpu.graphs.batch import GraphBatch
+        from infomax3d_tpu.parallel.node_partition import shard_graph_batch
+        base_collate = collate if callable(collate) else get_collate(collate)
+        halo_pad = int(args.get("node_halo_pad") or
+                       int(np.ceil(max_n / 8) * 8))
+
+        def _shard(v):
+            if not isinstance(v, GraphBatch):
+                return v
+            el_pad = int(args.get("node_el_pad") or
+                         int(np.ceil(v.num_edges * 1.5 / node_shards / 8) * 8))
+            return shard_graph_batch(v, node_shards, el_pad, halo_pad)
+
+        def node_collate(items, *cargs, **kw):
+            import jax
+            return jax.tree_util.tree_map(
+                _shard, base_collate(items, *cargs, **kw),
+                is_leaf=lambda v: isinstance(v, GraphBatch))
+
+        collate = node_collate
+
     def mk(indices, shuffle, seed, batch_sampler=None):
         return GraphDataLoader(dataset, bs, collate, bucket=bucket,
                                shuffle=shuffle, drop_last=contrastive,
@@ -647,28 +681,47 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
     tp_mesh = None
     n_shards = args.get("n_shards", 1)
     graph_shards = args.get("graph_shards", 1)
+    node_shards = args.get("node_shards", 1)
     model_shards = args.get("model_shards", 1)
+    if graph_shards > 1 and node_shards > 1:
+        raise ValueError("graph_shards (edge partitioning) and node_shards "
+                         "(node-sharded halo partitioning) both claim the "
+                         "'graph' mesh axis — pick one")
+    if node_shards > 1:
+        if args.get("collate_function") not in (
+                "graph_collate", "graph_only_collate", "contrastive_collate"):
+            raise ValueError("node_shards currently supports the pure-"
+                             "GraphBatch collates (graph_collate, "
+                             "graph_only_collate, contrastive_collate)")
+        if (args.get("model_parameters") or {}).get("pairwise_distances"):
+            raise NotImplementedError(
+                "node_shards: PNA pairwise_distances gathers coords by "
+                "sender inside the model (models/pna.py) — ghost "
+                "coordinates are not exchanged on that path yet")
     if model_shards > 1:
         # tensor parallelism (parallel/tp.py): params column-sharded over a
         # (data, model) mesh's 'model' axis; the plain jit step
         # auto-partitions via GSPMD.  A layout mode, so it excludes the
         # shard_map meshes (n_shards / graph_shards).
-        if n_shards > 1 or graph_shards > 1:
+        if n_shards > 1 or graph_shards > 1 or node_shards > 1:
             raise ValueError("model_shards cannot combine with n_shards/"
                              "graph_shards yet — pick one parallel mode")
         from infomax3d_tpu.parallel.tp import make_tp_mesh
         tp_mesh = make_tp_mesh(1, model_shards)
-    elif n_shards > 1 or graph_shards > 1:
+    elif n_shards > 1 or graph_shards > 1 or node_shards > 1:
         from infomax3d_tpu.parallel import make_mesh
-        if graph_shards > 1:
-            # (data, graph) mesh: DP over 'data', edge-partitioned graph
-            # parallelism over 'graph' (parallel/edge_partition.py) — for
+        k = graph_shards if graph_shards > 1 else node_shards
+        if k > 1:
+            # (data, graph) mesh: DP over 'data'; over 'graph' either
+            # edge-partitioned parallelism (parallel/edge_partition.py —
+            # node arrays replicated) or node-sharded halo partitioning
+            # (parallel/node_partition.py — per-device arrays ~1/k), for
             # models whose edge->node aggregation routes through
             # ops.mailbox.edge_aggregate / pna_aggregate (PNA family,
             # Net3D, GIN/GCN, EGNN)
-            mesh = make_mesh(n_shards * graph_shards,
+            mesh = make_mesh(n_shards * k,
                              axis_names=("data", "graph"),
-                             shape=(n_shards, graph_shards))
+                             shape=(n_shards, k))
         else:
             mesh = make_mesh(n_shards)
 

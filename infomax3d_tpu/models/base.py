@@ -89,7 +89,7 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             from infomax3d_tpu.parallel.context import (
-                cross_replica_axis, edge_partition_axis)
+                cross_replica_axis, edge_partition_axis, node_partition_axis)
             axis = cross_replica_axis()
             # under edge partitioning, edge-space rows are split over the
             # graph axis: complete their statistics there too.  For
@@ -101,6 +101,12 @@ class MaskedBatchNorm(nn.Module):
             e_axis = edge_partition_axis()
             if e_axis is not None:
                 axis = (axis, e_axis) if axis is not None else e_axis
+            # under node partitioning BOTH node- and edge-space rows are
+            # genuinely split over the axis — completion is simply correct
+            n_axis = node_partition_axis()
+            if n_axis is not None:
+                axis = ((axis, n_axis) if isinstance(axis, str)
+                        else (*axis, n_axis) if axis is not None else n_axis)
             xf = x.astype(jnp.float32)
             red = tuple(range(xf.ndim - 1))
             if mask is not None:

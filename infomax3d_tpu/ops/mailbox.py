@@ -292,12 +292,35 @@ def pna_aggregate(g, messages, aggregators, scalers, avg_d_log=1.0):
                                deg=g.extras.get("in_degree"))
 
 
+def _node_partition_ext(g, h):
+    """Under the node-sharded training mode (parallel/node_partition.py,
+    `node_shards` config key): halo-exchange the owned node rows into the
+    extended ``[owned ‖ ghost]`` table the batch's LOCAL sender indices
+    address.  Returns None when the batch is not node-partitioned."""
+    from infomax3d_tpu.parallel.context import node_partition_axis
+    ax = node_partition_axis()
+    if ax is None or "np_send_0" not in g.extras:
+        return None
+    from infomax3d_tpu.parallel.node_partition import halo_exchange
+    rounds = []
+    while f"np_send_{len(rounds)}" in g.extras:
+        rounds.append(g.extras[f"np_send_{len(rounds)}"])
+    return halo_exchange(h, rounds, ax, len(rounds) + 1)
+
+
 def gather_parts(g, h):
     """(src_part, dst_part) lazy GatherParts for a SplitDense message MLP —
     node-space projection + scatter-free kernel backwards, and (together
     with a plain edge part) the fused Pallas edge-combine forward
     (models/base.py::SplitDense._try_edge_combine).  Callers on csr batches
     should prefer this over (h, idx) tuples."""
+    ext = _node_partition_ext(g, h)
+    if ext is not None:
+        # node-sharded batch: project the extended table in node space then
+        # gather by the LOCAL indices — ghost cotangents flow back through
+        # halo_exchange's ppermute transpose
+        from infomax3d_tpu.models.base import GatherPart
+        return GatherPart(ext, g.senders), GatherPart(h, g.receivers)
     from infomax3d_tpu.models.base import GatherPart
     rp = g.extras.get("csr_row_ptr") if has_csr(g) else None
     mb = g.extras.get("mb_in_edges")
@@ -323,7 +346,11 @@ def gather_src(g, h):
     """h[senders]; under dense-mailbox batches the backward is a mailbox-sum
     (no scatter).  csr batches route the backward through the scatter-free
     sorted prefix sum (ops/segment.py::take_rows with the CSC edge order);
-    plain batches use take (XLA fused scatter-add backward)."""
+    plain batches use take (XLA fused scatter-add backward); node-sharded
+    batches halo-exchange ghosts first (parallel/node_partition.py)."""
+    ext = _node_partition_ext(g, h)
+    if ext is not None:
+        return jnp.take(ext, g.senders.clip(0, ext.shape[0] - 1), axis=0)
     if has_mailbox(g) and not has_csr(g):
         return gather_nodes(h, g.senders, g.extras["mb_out_edges"],
                             g.extras["mb_out_slot"])

@@ -465,22 +465,43 @@ def graph_readout(
     if dense_idx is not None and dense_inv is not None:
         return _graph_readout_dense(node_feat, dense_idx, dense_inv,
                                     aggregators, sizes)
+    # node-sharded batches (parallel/node_partition.py `node_shards` mode):
+    # each shard reduces its OWNED nodes; psum / gathered-max over the mesh
+    # axis completes the per-graph partials before any mean/mask derivation
+    from infomax3d_tpu.parallel.context import node_partition_axis
+    np_ax = node_partition_axis()
     D = node_feat.shape[-1]
     outs: Dict[str, jnp.ndarray] = {}
     if sizes is None:
         sizes = degree(node_graph, num_graphs)
+        if np_ax is not None:
+            sizes = jax.lax.psum(sizes, np_ax)
     sizes_f = sizes.astype(node_feat.dtype)
     has = (sizes_f > 0)[:, None]
     if "sum" in aggregators or "mean" in aggregators:
         s = jax.ops.segment_sum(node_feat, node_graph, num_segments=num_graphs)
+        if np_ax is not None:
+            s = jax.lax.psum(s, np_ax)
         outs["sum"] = s
         outs["mean"] = jnp.where(has, s / jnp.maximum(sizes_f, 1.0)[:, None], 0.0)
-    if "max" in aggregators and "min" in aggregators:
+    if ("max" in aggregators and "min" in aggregators) or \
+            (np_ax is not None and ("max" in aggregators or
+                                    "min" in aggregators)):
+        cat = ([node_feat] if "max" in aggregators else []) + \
+              ([-node_feat] if "min" in aggregators else [])
         both = jax.ops.segment_max(
-            jnp.concatenate([node_feat, -node_feat], axis=-1), node_graph,
-            num_segments=num_graphs)
-        outs["max"] = jnp.where(has, both[:, :D], 0.0)
-        outs["min"] = jnp.where(has, -both[:, D:], 0.0)
+            jnp.concatenate(cat, axis=-1) if len(cat) > 1 else cat[0],
+            node_graph, num_segments=num_graphs)
+        if np_ax is not None:
+            # differentiable pmax (lax.pmax has no VJP); completes
+            # locally-empty-but-globally-populated graphs before masking
+            both = jnp.max(jax.lax.all_gather(both, np_ax), axis=0)
+        off = 0
+        if "max" in aggregators:
+            outs["max"] = jnp.where(has, both[:, :D], 0.0)
+            off = D
+        if "min" in aggregators:
+            outs["min"] = jnp.where(has, -both[:, off:off + D], 0.0)
     elif "max" in aggregators:
         outs["max"] = segment_max(node_feat, node_graph, num_graphs)
     elif "min" in aggregators:

@@ -46,3 +46,28 @@ def using_edge_partition_axis(name: Optional[str]):
         yield
     finally:
         _EDGE_AXIS.reset(token)
+
+
+# Mesh axis over which the NODE SET is sharded (ppermute-halo node
+# partitioning, parallel/node_partition.py).  Read by the sender-side
+# gathers (ops/mailbox.py — halo-exchange ghosts before the take), the
+# graph readout (ops/segment.py::graph_readout — psum/pmax completion of
+# per-shard partials), and masked BatchNorm (models/base.py — statistics
+# over the genuinely-split node/edge rows).  Receiver-side aggregation
+# needs NO completion: every edge lives on the shard that owns its
+# receiver, so a node's whole in-edge set is local.
+_NODE_AXIS: ContextVar[Optional[str]] = ContextVar("node_partition_axis",
+                                                   default=None)
+
+
+def node_partition_axis() -> Optional[str]:
+    return _NODE_AXIS.get()
+
+
+@contextlib.contextmanager
+def using_node_partition_axis(name: Optional[str]):
+    token = _NODE_AXIS.set(name)
+    try:
+        yield
+    finally:
+        _NODE_AXIS.reset(token)

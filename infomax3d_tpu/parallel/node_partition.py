@@ -62,9 +62,14 @@ def build_node_partition(senders: np.ndarray, receivers: np.ndarray,
                          edge_mask: np.ndarray, num_nodes: int, k: int,
                          node_arrays: Optional[Dict[str, np.ndarray]] = None,
                          edge_arrays: Optional[Dict[str, np.ndarray]] = None,
+                         el_pad: int = 0, halo_pad: int = 0,
                          ) -> NodePartitionPlan:
     """Partition a batched graph's nodes into k contiguous shards and build
-    the static halo-exchange plan."""
+    the static halo-exchange plan.
+
+    ``el_pad`` / ``halo_pad`` > 0 pin the per-shard edge count and per-round
+    halo size to a fixed pad (bucket-style: one XLA compilation across
+    batches); a batch that exceeds either raises like a bucket overflow."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     edge_mask = np.asarray(edge_mask, bool)
@@ -82,6 +87,11 @@ def build_node_partition(senders: np.ndarray, receivers: np.ndarray,
                    for s in range(k)]
     El = int(np.ceil(max((len(e) for e in shard_edges), default=1) / 8) * 8)
     El = max(El, 8)
+    if el_pad:
+        if El > el_pad:
+            raise ValueError(f"node partition overflow: a shard holds {El} "
+                             f"edges > el_pad {el_pad} — grow the pad")
+        El = el_pad
 
     # halo: for each round r, shard o sends rows needed by shard (o+r)%k
     # — receive order == send order (sorted global ids), so ghost slots
@@ -100,6 +110,11 @@ def build_node_partition(senders: np.ndarray, receivers: np.ndarray,
     for r in range(1, k):
         H = max((len(need[(o + r) % k][o]) for o in range(k)), default=0)
         H = max(int(np.ceil(max(H, 1) / 8) * 8), 8)
+        if halo_pad:
+            if H > halo_pad:
+                raise ValueError(f"node partition overflow: halo round {r} "
+                                 f"needs {H} rows > halo_pad {halo_pad}")
+            H = halo_pad
         halo_sizes.append(H)
         si = np.zeros((k, H), np.int32)
         for o in range(k):
@@ -203,3 +218,98 @@ def local_segment_reduce(messages: jnp.ndarray, receivers_loc: jnp.ndarray,
         r = jax.ops.segment_max(mm, receivers_loc, num_segments=n_local)
         return jnp.where(r <= -big, 0.0, r)
     raise ValueError(f"unsupported op: {op}")
+
+
+# ---------------------------------------------------------------------------
+# GraphBatch-level node sharding: the `node_shards` training mode
+# ---------------------------------------------------------------------------
+
+def shard_graph_batch(g, k: int, el_pad: int = 0, halo_pad: int = 0):
+    """Partition a host-side GraphBatch into a [k, ...]-stacked GraphBatch
+    for `shard_map` over the 'graph' mesh axis (the ``node_shards`` training
+    mode wired through cli/train.py).
+
+    Per-shard layout (each array's leading axis is the shard):
+
+    * node arrays ([Nl] owned rows, genuinely ~1/k of the batch): node_feat,
+      node_graph (pad -> G), node_mask, coords, node_pos, snorm, lap_pe,
+      and the in_degree extra (already the GLOBAL in-degree of owned nodes —
+      every in-edge of an owned receiver is local by construction);
+    * edge arrays ([El] receiver-owned rows): edge_feat, edge_dist,
+      edge_graph, edge_mask; `senders` hold LOCAL indices into the
+      ``[owned ‖ ghost]`` extended table (pad -> ext, clipped harmlessly by
+      gathers), `receivers` local owned indices (pad -> Nl, dropped by the
+      XLA segment ops exactly like the flat path's out-of-range padding);
+    * graph arrays replicated over shards: graph_mask, n_nodes, targets;
+    * extras ``np_send_0..np_send_{k-2}``: per-round halo send lists
+      ([H_r] owned-row indices after shard_map slicing) consumed by
+      ops/mailbox.py::gather_src via `halo_exchange`.
+
+    All other extras (csr_*, mb_*, rd_*) index the FULL node/edge ordering
+    and are dropped — the aggregation dispatchers fall through to the XLA
+    segment path, whose receiver-owned reductions complete locally with no
+    collective at all (the point of this partition).
+    """
+    from infomax3d_tpu.graphs.batch import GraphBatch
+
+    np_of = lambda a: None if a is None else np.asarray(a)
+    senders = np_of(g.senders)
+    receivers = np_of(g.receivers)
+    edge_mask = np_of(g.edge_mask)
+    N = int(g.num_nodes)
+    G = int(g.num_graphs)
+    plan = build_node_partition(senders, receivers, edge_mask, N, k,
+                                el_pad=el_pad, halo_pad=halo_pad)
+    Nl, El, ext = plan.n_local, plan.senders_loc.shape[1], plan.extended_rows
+
+    def part_nodes(a, pad_value=0):
+        if a is None:
+            return None
+        a = np_of(a)
+        pad = np.full((1,) + a.shape[1:], pad_value, a.dtype)
+        return np.concatenate([a, pad])[plan.node_idx]     # [k, Nl, ...]
+
+    def part_edges(a, pad_value=0):
+        if a is None:
+            return None
+        a = np_of(a)
+        pad = np.full((1,) + a.shape[1:], pad_value, a.dtype)
+        return np.concatenate([a, pad])[plan.edge_perm]    # [k, El, ...]
+
+    def repl(a):
+        return None if a is None else np.broadcast_to(
+            np_of(a)[None], (k,) + np_of(a).shape).copy()
+
+    senders_loc = plan.senders_loc.copy()
+    receivers_loc = plan.receivers_loc.copy()
+    senders_loc[~plan.edge_mask] = ext                     # out of range
+    receivers_loc[~plan.edge_mask] = Nl                    # dropped by XLA
+
+    extras = {}
+    if "targets" in g.extras:
+        extras["targets"] = repl(g.extras["targets"])
+    if "in_degree" in g.extras:
+        extras["in_degree"] = part_nodes(g.extras["in_degree"])
+    for r, si in enumerate(plan.send_idx):
+        extras[f"np_send_{r}"] = si                        # [k, H_r]
+
+    return GraphBatch(
+        node_feat=part_nodes(g.node_feat),
+        senders=senders_loc.astype(np.int32),
+        receivers=receivers_loc.astype(np.int32),
+        node_graph=part_nodes(g.node_graph, pad_value=G),
+        # the batch's OWN node_mask (partitioned), not plan.node_mask: the
+        # plan only marks owned-row validity, while rows that were padding
+        # in the full batch must stay masked or they leak into BN statistics
+        node_mask=part_nodes(g.node_mask, pad_value=False),
+        edge_mask=plan.edge_mask,
+        graph_mask=repl(g.graph_mask),
+        n_nodes=repl(g.n_nodes),
+        edge_feat=part_edges(g.edge_feat),
+        coords=part_nodes(g.coords),
+        edge_dist=part_edges(g.edge_dist),
+        edge_graph=part_edges(g.edge_graph, pad_value=G),
+        node_pos=part_nodes(g.node_pos),
+        snorm=part_nodes(g.snorm),
+        lap_pe=part_nodes(g.lap_pe),
+        extras=extras)

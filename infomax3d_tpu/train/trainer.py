@@ -141,7 +141,13 @@ class Trainer:
         batches — init_state itself takes an unstacked example."""
         if self.mesh is not None and "data" in self.mesh.axis_names \
                 and self.mesh.shape["data"] > 1:
-            return jax.tree_util.tree_map(lambda a: a[0], batch)
+            batch = jax.tree_util.tree_map(lambda a: a[0], batch)
+        if self.args.get("node_shards", 1) > 1:
+            # node-sharded batches carry a [k] shard-stack axis; parameter
+            # shapes init from shard 0's local view (outside shard_map the
+            # partition context is unset, so gathers/readout fall through
+            # to the plain local paths — values unused, only shapes matter)
+            batch = jax.tree_util.tree_map(lambda a: a[0], batch)
         return batch
 
     def init_state(self, example_batch) -> TrainState:
@@ -335,20 +341,26 @@ class Trainer:
         from jax.sharding import PartitionSpec as P
         from infomax3d_tpu.graphs.batch import GraphBatch
         from infomax3d_tpu.parallel.context import (
-            using_cross_replica_axis, using_edge_partition_axis)
+            using_cross_replica_axis, using_edge_partition_axis,
+            using_node_partition_axis)
         axis = self.mesh.axis_names[0]
         data_sharded = self.mesh.shape[axis] > 1
-        # optional second mesh axis: edge-partitioned graph parallelism —
-        # batches replicated over 'graph', each device takes its round-robin
-        # edge shard; aggregation ops complete partials via psum/pmax (see
-        # parallel/edge_partition.py)
+        # optional second mesh axis: graph parallelism over 'graph' — either
+        # edge-partitioned (batches replicated, each device slices its edge
+        # shard in-step; aggregations complete via psum/pmax — see
+        # parallel/edge_partition.py) or node-sharded (`node_shards` config:
+        # the LOADER stacks host-partitioned batches [k, ...]; sender
+        # gathers halo-exchange ghosts, receiver-owned aggregations complete
+        # locally — see parallel/node_partition.py::shard_graph_batch)
         g_axis = ("graph" if "graph" in self.mesh.axis_names
                   and self.mesh.shape["graph"] > 1 else None)
+        node_mode = g_axis is not None and \
+            self.args.get("node_shards", 1) > 1
         grad_axes = (axis,) + ((g_axis,) if g_axis else ())
         optim = self.optims["main"] if train else None
 
         def _shard_edges(b):
-            if g_axis is None:
+            if g_axis is None or node_mode:
                 return b
             from infomax3d_tpu.parallel.edge_partition import shard_batch_edges
             k = self.mesh.shape["graph"]
@@ -359,16 +371,20 @@ class Trainer:
 
         def core(state, batch, group_lrs, rng):
             self._loss_fn_extra = state.extra
+            local = batch
             if data_sharded:
-                local = jax.tree_util.tree_map(lambda a: a[0], batch)
-            else:
-                local = batch
+                local = jax.tree_util.tree_map(lambda a: a[0], local)
+            if node_mode:
+                # node-sharded batches carry one more leading axis (the
+                # shard stack built host-side by shard_graph_batch)
+                local = jax.tree_util.tree_map(lambda a: a[0], local)
             local = _shard_edges(local)
             # fold only the DATA index: graph-axis replicas must draw the
             # same dropout masks for the replicated node-space compute
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             with using_cross_replica_axis(axis), \
-                    using_edge_partition_axis(g_axis):
+                    using_edge_partition_axis(None if node_mode else g_axis), \
+                    using_node_partition_axis(g_axis if node_mode else None):
                 if not train:
                     loss, aux, _ = self.loss_fn(state.params, state.batch_stats,
                                                 local, state.step, rng, False)
@@ -405,15 +421,22 @@ class Trainer:
             new_state = self._post_update(new_state)
             return new_state, jax.lax.pmean(loss, axis), aux
 
-        batch_spec = P(axis) if data_sharded else P()
+        # node mode: the batch carries a [k] shard-stack axis (after the
+        # optional [d] data axis); aux outputs are REPLICATED over the graph
+        # axis (psum-completed readouts), so they only shard over data
+        if node_mode:
+            batch_spec = P(axis, g_axis) if data_sharded else P(g_axis)
+        else:
+            batch_spec = P(axis) if data_sharded else P()
+        aux_spec = P(axis) if data_sharded else P()
         if train:
             in_specs = (P(), batch_spec, P(), P())
-            out_specs = (P(), P(), batch_spec)
+            out_specs = (P(), P(), aux_spec)
             donate = (0,)
         else:
             core_eval = lambda state, batch, rng: core(state, batch, None, rng)
             in_specs = (P(), batch_spec, P())
-            out_specs = (P(), batch_spec)
+            out_specs = (P(), aux_spec)
             donate = ()
 
         fn = core if train else core_eval
@@ -434,7 +457,12 @@ class Trainer:
     def _host_filter(self, batch, aux: AuxOut):
         """Pull real rows to host for metric accumulation (handles the
         leading device axis of parallel batches by flattening)."""
-        mask = np.asarray(batch["graph"].graph_mask).reshape(-1)
+        mask = np.asarray(batch["graph"].graph_mask)
+        if self.args.get("node_shards", 1) > 1 and mask.ndim >= 2:
+            # node-sharded batches replicate graph arrays over the shard
+            # stack axis; predictions carry no such axis — take one copy
+            mask = mask[..., 0, :]
+        mask = mask.reshape(-1)
         preds = np.asarray(aux.predictions)
         targets = np.asarray(aux.targets)
         preds = preds.reshape(mask.shape[0], *preds.shape[-1:])
