@@ -700,14 +700,18 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
                 "coordinates are not exchanged on that path yet")
     if model_shards > 1:
         # tensor parallelism (parallel/tp.py): params column-sharded over a
-        # (data, model) mesh's 'model' axis; the plain jit step
-        # auto-partitions via GSPMD.  A layout mode, so it excludes the
-        # shard_map meshes (n_shards / graph_shards).
-        if n_shards > 1 or graph_shards > 1 or node_shards > 1:
-            raise ValueError("model_shards cannot combine with n_shards/"
-                             "graph_shards yet — pick one parallel mode")
+        # (data, model) mesh's 'model' axis, GSPMD propagates the layout.
+        # Composes with data parallelism on ONE (n_shards, model_shards)
+        # mesh: the trainer's shard_map step is manual over 'data' only
+        # (axis_names) while 'model' stays auto for GSPMD.  The graph-
+        # partitioned modes still exclude it (three-axis meshes untested).
+        if graph_shards > 1 or node_shards > 1:
+            raise ValueError("model_shards cannot combine with graph_shards/"
+                             "node_shards — pick one graph-parallel mode")
         from infomax3d_tpu.parallel.tp import make_tp_mesh
-        tp_mesh = make_tp_mesh(1, model_shards)
+        tp_mesh = make_tp_mesh(n_shards, model_shards)
+        if n_shards > 1:
+            mesh = tp_mesh
     elif n_shards > 1 or graph_shards > 1 or node_shards > 1:
         from infomax3d_tpu.parallel import make_mesh
         k = graph_shards if graph_shards > 1 else node_shards

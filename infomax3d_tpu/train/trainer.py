@@ -109,10 +109,14 @@ class Trainer:
         # axis and the ordinary jit step auto-partitions via GSPMD
         # (parallel/tp.py); mutually exclusive with the shard_map mesh
         self.tp_mesh = tp_mesh
-        if tp_mesh is not None and mesh is not None:
-            raise ValueError("tp_mesh (GSPMD model sharding) and mesh "
-                             "(shard_map DP/graph partitioning) cannot be "
-                             "combined yet — use one or the other")
+        if tp_mesh is not None and mesh is not None and \
+                "model" not in getattr(mesh, "axis_names", ()):
+            raise ValueError(
+                "tp_mesh (GSPMD model sharding) composes with the shard_map "
+                "step only through ONE (data, model) mesh: pass the same "
+                "mesh as both `mesh` and `tp_mesh` — the step is then "
+                "manual over 'data' (shard_map axis_names) while GSPMD "
+                "propagates the 'model' layout")
         os.makedirs(run_dir, exist_ok=True)
         enable_persistent_compilation_cache()
         self.logger = RunLogger(run_dir, use_tensorboard=use_tensorboard)
@@ -440,8 +444,17 @@ class Trainer:
             donate = ()
 
         fn = core if train else core_eval
+        sm_kwargs = {}
+        if "model" in self.mesh.axis_names:
+            # hybrid DP x TP: shard_map is MANUAL only over the data axis;
+            # the 'model' axis stays auto so GSPMD propagates the params'
+            # column shardings (parallel/tp.py) and inserts the TP
+            # collectives — layouts compose with the explicit DP contracts
+            sm_kwargs["axis_names"] = {a for a in self.mesh.axis_names
+                                       if a != "model"}
         mapped = jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
-                               out_specs=out_specs, check_vma=False)
+                               out_specs=out_specs, check_vma=False,
+                               **sm_kwargs)
         return jax.jit(mapped, donate_argnums=donate)
 
     def _steps_for(self, batch):
