@@ -22,6 +22,12 @@ CASES = [
     ("bf16, f32 multi-reduce", {"INFOMAX3D_BF16": "1",
                                 "INFOMAX3D_STATS_KERNEL": "0"}),
     ("fp32", {"INFOMAX3D_BF16": "0"}),
+    # the multi-conformer flagship (pre-train_QMugs.yml: C=3 molecule-major
+    # conformer packing, NTXentMultiplePositives, same PNA+Net3D widths) —
+    # ~3x the QM9 flagship's 3D edge volume through the same kernels
+    ("qmugs C=3 bf16 + kernel", {"INFOMAX3D_BENCH": "qmugs",
+                                 "INFOMAX3D_BF16": "1",
+                                 "INFOMAX3D_STATS_KERNEL": "1"}),
 ]
 
 
