@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional, Sequence, Union
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -192,6 +194,33 @@ class AffinePart(NamedTuple):
     shift: jnp.ndarray      # [D] f32
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _split_kernel_rows(kernel, dims):
+    """Slice `kernel` into row blocks of sizes `dims` with a CONCAT
+    backward: AD's per-slice transpose is pad-with-zeros, so the sum over
+    parts rewrites the full [in_total, F] buffer once per part (13 padded
+    [2600, 200] adds per PNA layer ~ 26 MB of HBM traffic, measured
+    31 us/layer on v5e, ~10x the light bound of the 1 MB of real data);
+    the blocks are disjoint and cover every row, so the exact gradient is
+    simply the concatenation of the block cotangents — one 2 MB pass."""
+    out, o = [], 0
+    for d in dims:
+        out.append(jax.lax.slice_in_dim(kernel, o, o + d, axis=0))
+        o += d
+    return tuple(out)
+
+
+def _split_kernel_rows_fwd(kernel, dims):
+    return _split_kernel_rows(kernel, dims), None
+
+
+def _split_kernel_rows_bwd(dims, _, cts):
+    return (jnp.concatenate(list(cts), axis=0),)
+
+
+_split_kernel_rows.defvjp(_split_kernel_rows_fwd, _split_kernel_rows_bwd)
+
+
 class SplitDense(nn.Module):
     """Drop-in for ``nn.Dense`` applied to a CONCATENATION of parts, without
     materializing the concat: y = sum_i part_i @ kernel[o_i:o_i+d_i] + b.
@@ -217,12 +246,8 @@ class SplitDense(nn.Module):
         if fused is not None:
             return fused
 
-        metas = []
-        o = 0
-        for p in parts:
-            d = _dim(p)
-            metas.append((p, kernel[o:o + d]))
-            o += d
+        blocks = _split_kernel_rows(kernel, tuple(_dim(p) for p in parts))
+        metas = list(zip(parts, blocks))
         # group plain/ScaledPart inputs sharing ONE source array (the PNA
         # posttrans pattern: each aggregator section appears once per
         # scaler): one matmul against the column-concatenated kernel blocks
