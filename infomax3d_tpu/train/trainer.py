@@ -270,9 +270,20 @@ class Trainer:
         graph = self._cast_in(graph)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
-            out, mut = model.apply(variables, graph, deterministic=False,
+            def fwd(variables, graph):
+                return model.apply(variables, graph, deterministic=False,
                                    mutable=["batch_stats"],
-                                   rngs={"dropout": rng}, method=method, **kw)
+                                   rngs={"dropout": rng}, method=method,
+                                   **kw)
+            if self.args.get("remat"):
+                # `remat: true` — rematerialize the forward in the backward
+                # pass (jax.checkpoint, save-nothing policy): activation HBM
+                # drops to O(inputs + outputs) per model at the cost of one
+                # extra forward of FLOPs — the standard trade for batch /
+                # depth scaling on HBM-limited chips.  Gradients are
+                # IDENTICAL (same primals, same cotangent math).
+                fwd = jax.checkpoint(fwd)
+            out, mut = fwd(variables, graph)
             return self._cast_out(out), mut.get("batch_stats", batch_stats)
         out = model.apply(variables, graph, deterministic=True, method=method, **kw)
         return self._cast_out(out), batch_stats
