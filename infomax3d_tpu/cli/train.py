@@ -689,10 +689,12 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
                          "'graph' mesh axis — pick one")
     if node_shards > 1:
         if args.get("collate_function") not in (
-                "graph_collate", "graph_only_collate", "contrastive_collate"):
+                "graph_collate", "graph_only_collate", "contrastive_collate",
+                "contrastive_collate_ae", "conformer_collate"):
             raise ValueError("node_shards currently supports the pure-"
                              "GraphBatch collates (graph_collate, "
-                             "graph_only_collate, contrastive_collate)")
+                             "graph_only_collate, contrastive_collate[_ae], "
+                             "conformer_collate)")
         if (args.get("model_parameters") or {}).get("pairwise_distances"):
             raise NotImplementedError(
                 "node_shards: PNA pairwise_distances gathers coords by "

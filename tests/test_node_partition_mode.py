@@ -190,3 +190,25 @@ def test_node_shards_combined_with_data_parallel(data_root, tmp_path,
     res = run_training(_cfg(tmp_path / "dpnp", node_shards=4, n_shards=2,
                             batch_size=8))
     assert np.isfinite(res["mae"])
+
+
+@pytest.mark.slow
+def test_node_shards_qmugs_conformer_protocol(tmp_path_factory, monkeypatch,
+                                              tmp_path):
+    """The multi-conformer flagship (pre-train_QMugs.yml: conformer_collate,
+    C=3 molecule-major packing, NTXentMultiplePositives) trains under
+    node_shards — the conformer 3D batch is a pure GraphBatch, so the same
+    shard-stack wrapper applies."""
+    from infomax3d_tpu.cli.config import load_config
+    from infomax3d_tpu.cli.train import train
+    from infomax3d_tpu.data.synthetic import write_synthetic_cache
+    root = tmp_path_factory.mktemp("npqmugs")
+    write_synthetic_cache(str(root / "QMugs" / "processed.npz"),
+                          num=160, num_conformers=3, seed=31)
+    monkeypatch.setenv("INFOMAX3D_DATA", str(root))
+    args = load_config("configs_clean/pre-train_QMugs.yml", dict(
+        num_epochs=1, patience=1, use_tensorboard=False, eval_per_epochs=0,
+        log_iterations=-1, logdir=str(tmp_path), batch_size=8, num_train=24,
+        node_shards=4))
+    res = train(args)
+    assert np.isfinite(res["NTXentMultiplePositives"])
