@@ -7,9 +7,13 @@ convention behind BASELINE.md's >=90% 2-host edges/s target): global batch
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_dp_bench(n_shards: int, per_chip_batch: int = 500,
@@ -99,15 +103,27 @@ def run_dp_bench(n_shards: int, per_chip_batch: int = 500,
     rng = jax.random.key(0)
     lrs = tr._full_lr_vector()
 
+    # slope timing (same methodology as bench.py, VERDICT r4): two
+    # iteration counts each bracketed by a REAL value fetch — on remote
+    # backends block_until_ready can return before the device finishes,
+    # and the fetch/RTT constant cancels in the difference
     state, loss, _ = step(tr.state, batch, lrs, rng)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        state, loss, _ = step(state, batch, lrs, rng)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n_iter
+    _ = float(jax.device_get(loss))
+
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            state, loss, _ = step(state, batch, lrs, rng)
+        _ = float(jax.device_get(loss))
+        return time.perf_counter() - t0
+
+    n1, n2 = max(n_iter // 5, 5), n_iter + max(n_iter // 5, 5)
+    dt = (run(n2) - run(n1)) / (n2 - n1)
     return {"edges_per_s": round((e2 + e3) / dt, 1),
             "step_ms": round(dt * 1e3, 2),
+            "timing_method": f"slope(n1={n1},n2={n2},value-fetch)",
             "global_batch": B}
 
 
