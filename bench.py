@@ -199,6 +199,33 @@ def main():
             dt = dt_block
             timing_method = "block_until_ready(30) [slope failed]"
 
+    # forward-only (inference/fingerprint) throughput: the deterministic
+    # embedding pass cli/inference.py serves — slope-timed like the train
+    # step and reported in `extra` (the train step stays the headline)
+    @jax.jit
+    def fwd(params, stats, g2, g3):
+        pc = _in(params)
+        z1 = pna.apply({"params": pc["model"],
+                        "batch_stats": stats["model"]}, g2,
+                       deterministic=True)
+        z2 = net3d.apply({"params": pc["model3d"],
+                          "batch_stats": stats["model3d"]}, g3,
+                         deterministic=True)
+        return _out(z1), _out(z2)
+
+    z = fwd(params, stats, g2c, g3c)
+    _ = float(jax.device_get(z[0][0, 0]))
+
+    def fwd_run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            z = fwd(params, stats, g2c, g3c)
+        _ = float(jax.device_get(z[0][0, 0]))
+        return time.perf_counter() - t0
+
+    f1, f2 = 25, 275
+    fwd_ms = max((fwd_run(f2) - fwd_run(f1)) / (f2 - f1), 1e-6) * 1e3
+
     edges_per_step = e2 + e3
 
     # roofline: FLOPs AND bytes of the compiled step vs the ACTUAL chip's
@@ -329,6 +356,8 @@ def main():
 
     extra = {"graphs_per_s": round(graphs_per_s, 1),
              "step_ms": round(dt * 1e3, 2),
+             "fwd_ms": round(fwd_ms, 2),
+             "fwd_graphs_per_s": round(B / (fwd_ms / 1e3), 1),
              "step_ms_blockready": round(dt_block * 1e3, 2),
              "timing_method": timing_method, "bf16": use_bf16,
              "tflops": None if tflops is None else round(tflops, 2),
