@@ -94,6 +94,14 @@ DEFAULTS: Dict[str, Any] = dict(
     # tensor parallelism factor: params column-sharded over a 'model' mesh
     # axis, the jit step auto-partitions via GSPMD (parallel/tp.py)
     model_shards=1,
+    # node-sharded halo partitioning factor: per-device node/edge arrays
+    # shrink ~1/k, sender gathers halo-exchange ghost rows via ppermute
+    # (parallel/node_partition.py); mutually exclusive with graph_shards
+    node_shards=1,
+    # rematerialize the forward in the backward (jax.checkpoint): trades
+    # ~1 extra forward of FLOPs for not storing activations — for
+    # HBM-limited scaling (deep stacks / giant node-sharded graphs)
+    remat=False,
     dataset_params={},
     max_nodes=40,
     use_tensorboard=True,
