@@ -45,8 +45,12 @@ POS_BIG = 3.0e38
 
 # node-tile height shared by the stats kernel and the batcher's compacted
 # window measurement (graphs/batch.py publishes the max edges per TILE_N-node
-# tile so WIN can shrink from the worst case TN*max_deg to ~TN*avg_deg)
-CSR_TILE_N = 64
+# tile so WIN can shrink from the worst case TN*max_deg to ~TN*avg_deg).
+# 128 (was 64): per-tile fixed costs (DMA issue + output pipeline) dominate
+# the MXU window redundancy at molecular degrees — measured on the v5e
+# flagship step: 32 -> 9.74 ms, 64 -> 7.35, 128 -> 7.2, 256 -> 7.40 (the
+# window MXU cost grows ~linearly with TN and overtakes past 128)
+CSR_TILE_N = 128
 
 # edge-block width of the Pallas stats BACKWARD kernel; the batcher
 # publishes the max receiver-node span under any TILE_E consecutive edges
