@@ -774,6 +774,9 @@ def run_training(args: Dict[str, Any]) -> Dict[str, float]:
                                      **(args.get("critic_loss_params") or {}))
     if args["trainer"] == "byol":
         kw["ma_decay"] = (args.get("model_parameters") or {}).get("ma_decay", 0.99)
+        # reference-exact default: EMA only the 2D teacher
+        # (byol_trainer.py:24); `byol_ema_all: true` updates both
+        kw["ema_all"] = bool(args.get("byol_ema_all", False))
     trainer = trainer_cls(
         models, args, metrics=metrics, main_metric=args["main_metric"],
         run_dir=run_dir, loss_func=loss_func, loss_name=loss_name,

@@ -840,9 +840,18 @@ class BYOLTrainer(SelfSupervisedTrainer):
     base (and parallel shard_map) step machinery.
     """
 
-    def __init__(self, *a, ma_decay: float = 0.99, **kw):
+    def __init__(self, *a, ma_decay: float = 0.99, ema_all: bool = False,
+                 **kw):
         super().__init__(*a, **kw)
         self.ma_decay = ma_decay
+        # reference-exact: after_optim_step calls ONLY
+        # `self.model.ma_teacher_update()` (byol_trainer.py:24) — the 3D
+        # wrapper's teacher stays frozen at its deepcopy-of-init state for
+        # the whole run.  That is almost certainly an upstream oversight
+        # (BYOL prescribes EMA on every teacher), but it is the behavior a
+        # reference user gets, so it is the default here; `byol_ema_all:
+        # true` opts into the symmetric update on both teachers.
+        self.ema_keys = self.MODEL_KEYS if ema_all else ("model",)
 
     def _init_extra(self, params, batch_stats):
         # teacher = materialized copy of each student's trunk + its BN
@@ -895,11 +904,11 @@ class BYOLTrainer(SelfSupervisedTrainer):
 
     def _post_update(self, state: TrainState) -> TrainState:
         decay = self.ma_decay
-        teacher = jax.tree_util.tree_map(
-            lambda t, s: t * decay + s * (1.0 - decay),
-            state.extra["teacher"],
-            {k: self._strip_predictor(state.params[k])
-             for k in self.MODEL_KEYS})
+        teacher = dict(state.extra["teacher"])
+        for k in self.ema_keys:
+            teacher[k] = jax.tree_util.tree_map(
+                lambda t, s: t * decay + s * (1.0 - decay),
+                teacher[k], self._strip_predictor(state.params[k]))
         return state.replace(extra={**state.extra, "teacher": teacher})
 
 

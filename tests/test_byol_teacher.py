@@ -22,7 +22,7 @@ B2 = BucketSpec(BATCH, 256, 1024)
 B3 = BucketSpec(BATCH, 256, 8192)
 
 
-def _mk_trainer(tmp_path, mesh=None, name="b"):
+def _mk_trainer(tmp_path, mesh=None, name="b", **kw):
     w2 = BYOLWrapper(model_type="PNA", model_parameters=PNA_SMALL,
                      predictor_layers=1, metric_dim=16,
                      predictor_batchnorm=True)
@@ -33,7 +33,7 @@ def _mk_trainer(tmp_path, mesh=None, name="b"):
         main_metric="loss", run_dir=str(tmp_path / name),
         loss_func=LOSS_REGISTRY["CosineSimilarityLoss"](),
         loss_name="CosineSimilarityLoss",
-        ma_decay=0.9, mesh=mesh, use_tensorboard=False)
+        ma_decay=0.9, mesh=mesh, use_tensorboard=False, **kw)
 
 
 def _loader(n_shards=1):
@@ -69,17 +69,47 @@ def test_teacher_running_stats_update_in_train_mode(tmp_path):
                              _flat(t_stats0))]
     assert max(moved) > 1e-6, "teacher running stats did not update"
 
-    # teacher params EMA: t1 = 0.9 * t0 + 0.1 * student_after_step
+    # teacher params EMA — reference-exact: after_optim_step updates ONLY
+    # the 2D wrapper's teacher (byol_trainer.py:24 calls
+    # `self.model.ma_teacher_update()` and never touches model3d), so
+    # t1 = 0.9 * t0 + 0.1 * student_after_step for "model" while the
+    # "model3d" teacher stays frozen at its deepcopy-of-init state
+    student1 = {k: BYOLTrainer._strip_predictor(st.params[k])
+                for k in tr.MODEL_KEYS}
+    want = dict(teacher0)
+    want["model"] = jax.tree_util.tree_map(
+        lambda t, s: 0.9 * t + 0.1 * np.asarray(s),
+        teacher0["model"], student1["model"])
+    for a, b in zip(_flat(st.extra["teacher"]), _flat(want)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-6)
+    # params0 proves the student moved, so a frozen 3D teacher is a real
+    # assertion (not vacuous equality of two untouched trees)
+    moved3d = [np.abs(np.asarray(a) - b).max()
+               for a, b in zip(_flat(student1["model3d"]),
+                               _flat(params0["model3d"]))]
+    assert max(moved3d) > 0
+
+    # eval step leaves extra untouched (teacher runs eval mode there)
+    _, evl = tr._steps_for(batch)
+    evl(st, batch, jax.random.key(1))  # must not crash; extra not returned
+
+
+def test_byol_ema_all_updates_both_teachers(tmp_path):
+    """`byol_ema_all: true` opts into the symmetric BYOL update (the
+    theoretically-intended behavior the reference's after_optim_step
+    forgot for model3d): BOTH teachers EMA toward their students."""
+    tr = _mk_trainer(tmp_path, name="ba", ema_all=True)
+    batch = next(iter(_loader()))
+    tr.init_state(batch)
+    teacher0 = jax.tree_util.tree_map(np.asarray, tr.state.extra["teacher"])
+    step, _ = tr._steps_for(batch)
+    st, _, _ = step(tr.state, batch, tr._full_lr_vector(), jax.random.key(0))
     student1 = {k: BYOLTrainer._strip_predictor(st.params[k])
                 for k in tr.MODEL_KEYS}
     want = jax.tree_util.tree_map(lambda t, s: 0.9 * t + 0.1 * np.asarray(s),
                                   teacher0, student1)
     for a, b in zip(_flat(st.extra["teacher"]), _flat(want)):
         np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-6)
-
-    # eval step leaves extra untouched (teacher runs eval mode there)
-    _, evl = tr._steps_for(batch)
-    evl(st, batch, jax.random.key(1))  # must not crash; extra not returned
 
 
 def test_teacher_uses_batch_stats_not_running(tmp_path):
