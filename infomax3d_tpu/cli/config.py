@@ -102,6 +102,10 @@ DEFAULTS: Dict[str, Any] = dict(
     # ~1 extra forward of FLOPs for not storing activations — for
     # HBM-limited scaling (deep stacks / giant node-sharded graphs)
     remat=False,
+    # BYOL: EMA-update BOTH teachers each step (symmetric BYOL).  Default
+    # False = reference-exact: after_optim_step touches only the 2D
+    # teacher (byol_trainer.py:24), the 3D teacher stays at init
+    byol_ema_all=False,
     dataset_params={},
     max_nodes=40,
     use_tensorboard=True,

@@ -5,10 +5,12 @@ The torch reference keeps teacher parameters inside the module with
 `requires_grad=False` and mutates them via `ma_teacher_update`.  TPU-native
 version: this module holds ONLY the student + predictor; the teacher is a
 separate parameter tree in `TrainState.extra`, EMA-updated inside the jitted
-train step (see `train/trainer.py::BYOLTrainer`).  The teacher forward is the
-same module applied with the teacher's 'student' subtree (and running BN
-averages — unlike the reference, whose teacher BN keeps collecting batch
-stats in train mode; the frozen-teacher form is the standard BYOL).
+train step (see `train/trainer.py::BYOLTrainer`, which also mirrors the
+reference's train-mode teacher BN — batch-stat normalization with the
+teacher's own running buffers carried in `extra` — and its quirk of
+EMA-updating only the 2D wrapper's teacher, byol_trainer.py:24).  The
+teacher forward is the same module applied with the teacher's 'student'
+subtree.
 """
 from __future__ import annotations
 

@@ -106,37 +106,80 @@ def _torch_key_candidates(path: Tuple[str, ...], collection: str):
     prefix = ".".join(mods_t)
     prefix = f"{prefix}." if prefix else ""
 
+    # Context-dependent torch attributes for flax auto-numbered submodules.
+    # Candidates are exact-key lookups with a shape check, so yielding every
+    # plausible context is safe — only the real one matches:
+    #  - FCLayer: Dense_0 -> `linear`, MaskedBatchNorm_0 -> `batch_norm`
+    #  - GINConv (reference models/gin.py:92-96): mlp = Sequential(Linear,
+    #    BatchNorm1d, ReLU, Linear) -> Dense_0/MaskedBatchNorm_0/Dense_1
+    #    map to mlp.0 / mlp.1 / mlp.3
+    #  - GNN_node_Virtualnode (models/gin.py:259-263): per-layer Sequential
+    #    (Linear, BN, ReLU, Linear, BN, ReLU) -> flax Dense_{2k+j} maps to
+    #    mlp_virtualnode_list.{k}.{0|3}, MaskedBatchNorm_{2k+j} to .{1|4}
+    #  - OGBGNN attention pooling (models/gin.py:57-61): gate_nn =
+    #    Sequential(Linear, BN, ReLU, Linear) under `pool`
+    def _dense_attrs(i: int):
+        yield "linear"                                     # FCLayer
+        if i <= 1:
+            yield f"mlp.{0 if i == 0 else 3}"              # GINConv
+            yield f"pool.gate_nn.{0 if i == 0 else 3}"     # attention pool
+        yield f"mlp_virtualnode_list.{i // 2}.{0 if i % 2 == 0 else 3}"
+
+    def _bn_attrs(i: int):
+        yield "batch_norm"                                 # FCLayer
+        if i == 0:
+            yield "mlp.1"                                  # GINConv
+            yield "pool.gate_nn.1"                         # attention pool
+        yield f"mlp_virtualnode_list.{i // 2}.{1 if i % 2 == 0 else 4}"
+
+    def _idx(name: str, stem: str):
+        if name.startswith(stem) and name[len(stem):].isdigit():
+            return int(name[len(stem):])
+        return None
+
     if collection == "batch_stats":
-        # MaskedBatchNorm_0 stats under an FCLayer sit on its `batch_norm`
-        # attribute; a bare MaskedBatchNorm maps to the module name itself
+        # MaskedBatchNorm_{i} stats sit on the context module's BN attribute;
+        # a bare MaskedBatchNorm maps to the module name itself
         name = {"mean": "running_mean", "var": "running_var"}.get(leaf)
         if name is None:
             return
-        if mods_t and mods_t[-1] == "MaskedBatchNorm_0":
+        i = _idx(mods_t[-1], "MaskedBatchNorm_") if mods_t else None
+        if i is not None:
             base = ".".join(mods_t[:-1])
-            yield (f"{base}.batch_norm.{name}" if base
-                   else f"batch_norm.{name}"), None
+            base = f"{base}." if base else ""
+            for attr in _bn_attrs(i):
+                yield f"{base}{attr}.{name}", None
         else:
             yield f"{prefix}{name}", None
         return
 
-    if mods_t and mods_t[-1] == "Dense_0":
-        # FCLayer's Linear is attribute `linear`
+    i = _idx(mods_t[-1], "Dense_") if mods_t else None
+    if i is not None:
         base = ".".join(mods_t[:-1])
         base = f"{base}." if base else ""
-        if leaf == "kernel":
-            yield f"{base}linear.weight", np.transpose
-        elif leaf == "bias":
-            yield f"{base}linear.bias", None
+        for attr in _dense_attrs(i):
+            if leaf == "kernel":
+                yield f"{base}{attr}.weight", np.transpose
+            elif leaf == "bias":
+                yield f"{base}{attr}.bias", None
         return
 
-    if mods_t and mods_t[-1] == "MaskedBatchNorm_0":
+    i = _idx(mods_t[-1], "MaskedBatchNorm_") if mods_t else None
+    if i is not None:
         base = ".".join(mods_t[:-1])
         base = f"{base}." if base else ""
-        if leaf == "scale":
-            yield f"{base}batch_norm.weight", None
-        elif leaf == "bias":
-            yield f"{base}batch_norm.bias", None
+        for attr in _bn_attrs(i):
+            if leaf == "scale":
+                yield f"{base}{attr}.weight", None
+            elif leaf == "bias":
+                yield f"{base}{attr}.bias", None
+        return
+
+    if leaf in ("root_emb", "virtualnode_embedding"):
+        # nn.Embedding(1, D) parameters (GCNConv's root_emb, the virtual
+        # node's embedding): torch stores `<name>.weight` [1, D]; our flax
+        # param is [D] (_adapt reshapes)
+        yield f"{prefix}{leaf}.weight", None
         return
 
     if leaf == "kernel":

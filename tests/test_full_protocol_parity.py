@@ -188,10 +188,18 @@ def _torch_protocol(seed, ds, y_norm, mean, std, slices):
             best_val = val
             best_sd = copy.deepcopy(pre2d.state_dict())
 
-    # transfer (train.py:216-224): keys containing 'gnn', minus 'batch_norm'
+    return _torch_finetune(seed, ds, y_norm, mean, std, slices, best_sd)
+
+
+def _torch_finetune(seed, ds, y_norm, mean, std, slices, best_sd):
+    """Reference fine-tune stage from a pre-trained 2D state_dict: transfer
+    (train.py:216-224 — keys containing 'gnn', minus 'batch_norm', 'teacher'
+    dropped, BYOL 'student.' prefix stripped), L1 fine-tune with plateau +
+    early stopping, denormalized val MAE at the best checkpoint."""
+    sl_pre, sl_preval, sl_ft, sl_ftval = slices
     torch.manual_seed(seed + 1000)
     ft = RefPNA(**{**HP2D, "target_dim": 1})
-    keep = {k: v for k, v in best_sd.items()
+    keep = {k.replace("student.", ""): v for k, v in best_sd.items()
             if any(t in k for t in TRANSFER_LAYERS) and "teacher" not in k
             and not any(x in k for x in EXCLUDE_FROM_TRANSFER)}
     sd = ft.state_dict()
@@ -279,13 +287,7 @@ def _sync_pretrain_init(tr, pre2d, pre3d):
                                 opt_state=tr._init_opt_state(params))
 
 
-def _jax_protocol(seed, ds, y_norm, mean, std, slices, run_root):
-    sl_pre, sl_preval, sl_ft, sl_ftval = slices
-    # the SAME torch init (same torch seed) as _torch_protocol's run
-    torch.manual_seed(seed)
-    pre2d = RefPNA(**HP2D)
-    pre3d = RefNet3D(node_dim=0, edge_dim=1, **HP3D)
-
+def _specs(ds):
     n2 = max(sum(ds.graph2d(i)["node_feat"].shape[0] for i in c)
              for c in _chunks(slice(0, len(ds)))) + 8
     e2 = max(sum(ds.graph2d(i)["senders"].shape[0] for i in c)
@@ -295,13 +297,27 @@ def _jax_protocol(seed, ds, y_norm, mean, std, slices, run_root):
     nmax2 = max(ds.graph2d(i)["node_feat"].shape[0] for i in range(len(ds)))
     e3 = max(sum(ds.graph3d(i)["senders"].shape[0] for i in c)
              for c in _chunks(slice(0, len(ds)))) + 8
-    spec2 = BucketSpec(B, n2, e2, max_deg=k2, csr=True, nmax=nmax2)
-    spec3 = BucketSpec(B, n2, e3)
+    return (BucketSpec(B, n2, e2, max_deg=k2, csr=True, nmax=nmax2),
+            BucketSpec(B, n2, e3))
 
+
+def _mk_loader(ds, y_norm, spec2):
     def loader(sl, collate, **kw):
         return GraphDataLoader(_JaxView(ds, y_norm, sl), B, collate,
                                bucket=spec2, shuffle=False, drop_last=True,
                                prefetch=0, collate_kwargs=kw)
+    return loader
+
+
+def _jax_protocol(seed, ds, y_norm, mean, std, slices, run_root):
+    sl_pre, sl_preval, sl_ft, sl_ftval = slices
+    # the SAME torch init (same torch seed) as _torch_protocol's run
+    torch.manual_seed(seed)
+    pre2d = RefPNA(**HP2D)
+    pre3d = RefNet3D(node_dim=0, edge_dim=1, **HP3D)
+
+    spec2, spec3 = _specs(ds)
+    loader = _mk_loader(ds, y_norm, spec2)
 
     pre_args = dict(num_epochs=PRE_EPOCHS, patience=10 ** 6,
                     minimum_epochs=0, log_iterations=10 ** 6,
@@ -325,7 +341,16 @@ def _jax_protocol(seed, ds, y_norm, mean, std, slices, run_root):
     _sync_pretrain_init(tr, pre2d, pre3d)
     tr.train(tr_loader, loader(sl_preval, "contrastive_collate",
                                bucket3d=spec3))
+    return _jax_finetune(seed, ds, y_norm, mean, std, slices, run_root,
+                         f"{pre_dir}/best_checkpoint.pt")
 
+
+def _jax_finetune(seed, ds, y_norm, mean, std, slices, run_root, pre_ckpt):
+    """Production fine-tune stage: `cli.train.transfer_pretrained` from the
+    pre-train best checkpoint, then the production Trainer.train() loop."""
+    sl_pre, sl_preval, sl_ft, sl_ftval = slices
+    spec2, _ = _specs(ds)
+    loader = _mk_loader(ds, y_norm, spec2)
     ft_args = dict(num_epochs=FT_EPOCHS, patience=FT_PATIENCE,
                    minimum_epochs=0, log_iterations=10 ** 6,
                    val_per_batch=True, optimizer="Adam",
@@ -337,7 +362,7 @@ def _jax_protocol(seed, ds, y_norm, mean, std, slices, run_root):
                    transfer_layers=TRANSFER_LAYERS, frozen_layers=[],
                    exclude_from_transfer=EXCLUDE_FROM_TRANSFER,
                    models_to_save=[], checkpoint=None, bf16_compute=False,
-                   pretrain_checkpoint=f"{pre_dir}/best_checkpoint.pt")
+                   pretrain_checkpoint=pre_ckpt)
     metric = get_metric("qm9_single_target_denormalized_l1",
                         means=mean, stds=std)
     ft = Trainer({"model": PNA(**{**HP2D, "target_dim": 1})}, ft_args,

@@ -33,9 +33,22 @@ _fn.copy_edge = lambda e, out: ("copy_edge", e, out)
 if "dgl.nn" not in sys.modules:
     dgl_nn = types.ModuleType("dgl.nn")
     dgl_nn_pt = types.ModuleType("dgl.nn.pytorch")
+
+    def _pool_init(self, *args, **kwargs):
+        torch.nn.Module.__init__(self)
+        # register submodule args (GlobalAttentionPooling's gate_nn) so the
+        # owner's state_dict carries their parameters like real dgl
+        for i, a in enumerate(args):
+            if isinstance(a, torch.nn.Module):
+                setattr(self, "gate_nn" if i == 0 else f"arg_{i}", a)
+        for k, v in kwargs.items():
+            if isinstance(v, torch.nn.Module):
+                setattr(self, k, v)
+
     for cls in ("SumPooling", "AvgPooling", "MaxPooling",
                 "GlobalAttentionPooling", "Set2Set"):
-        setattr(dgl_nn_pt, cls, type(cls, (), {}))
+        setattr(dgl_nn_pt, cls,
+                type(cls, (torch.nn.Module,), {"__init__": _pool_init}))
     dgl_nn.pytorch = dgl_nn_pt
     sys.modules["dgl.nn"] = dgl_nn
     sys.modules["dgl.nn.pytorch"] = dgl_nn_pt
