@@ -200,10 +200,14 @@ def _adapt(value: np.ndarray, transform, want_shape) -> Optional[np.ndarray]:
     if transform is not None:
         v = transform(v)
     if tuple(v.shape) == tuple(want_shape):
-        return v
+        # OWNED copy, never a view: `tensor.detach().numpy()` shares storage
+        # with the live torch tensor, and jnp.asarray on the CPU backend
+        # zero-copies numpy — without this, a torch `optim.step()` after
+        # conversion would silently mutate the "converted" flax parameters
+        return v.copy()
     # squeeze torch [1, D] buffers onto flax [D] params (Net3D node_embedding)
     if v.size == int(np.prod(want_shape)):
-        return v.reshape(want_shape)
+        return v.reshape(want_shape).copy()
     return None
 
 
